@@ -1,0 +1,397 @@
+"""Whisper encoder-decoder in pure-function JAX.
+
+The reference runs Whisper through the HF torch/CUDA pipeline
+(vocalis/core/audio_pipeline.py:195-200, model="openai/whisper-large-v3",
+fp16). This is a from-scratch TPU-native implementation:
+
+* parameters are a plain pytree; per-layer tensors are **stacked along a
+  leading layer axis and scanned** (`jax.lax.scan`) — one compiled layer
+  body regardless of depth, which keeps XLA compile times flat from
+  tiny (4 layers) to large-v3 (32 layers) and gives the sharding layer
+  a single leaf per weight to annotate;
+* attention is batched einsum onto the MXU with f32 softmax
+  accumulation (a Pallas flash-attention kernel in ops/attention.py
+  serves the long-sequence encoder path);
+* decoding uses a preallocated fixed-shape KV cache updated with
+  `lax.dynamic_update_slice` so the whole autoregressive loop stays
+  inside one `jit` (no retracing, no dynamic shapes);
+* cross-attention K/V are precomputed once per 30 s window.
+
+Model-dimension table matches openai/whisper's ModelDimensions for
+tiny → large-v3-turbo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Any  # pytree of arrays
+
+
+@dataclass(frozen=True)
+class WhisperDims:
+    n_mels: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_vocab: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+
+def _dims(mels, astate, ahead, alayer, vocab, tstate, thead, tlayer):
+    return WhisperDims(
+        n_mels=mels,
+        n_audio_ctx=1500,
+        n_audio_state=astate,
+        n_audio_head=ahead,
+        n_audio_layer=alayer,
+        n_vocab=vocab,
+        n_text_ctx=448,
+        n_text_state=tstate,
+        n_text_head=thead,
+        n_text_layer=tlayer,
+    )
+
+
+# openai/whisper ModelDimensions per checkpoint family.
+WHISPER_CONFIGS: dict[str, WhisperDims] = {
+    "tiny.en": _dims(80, 384, 6, 4, 51864, 384, 6, 4),
+    "tiny": _dims(80, 384, 6, 4, 51865, 384, 6, 4),
+    "base.en": _dims(80, 512, 8, 6, 51864, 512, 8, 6),
+    "base": _dims(80, 512, 8, 6, 51865, 512, 8, 6),
+    "small.en": _dims(80, 768, 12, 12, 51864, 768, 12, 12),
+    "small": _dims(80, 768, 12, 12, 51865, 768, 12, 12),
+    "medium.en": _dims(80, 1024, 16, 24, 51864, 1024, 16, 24),
+    "medium": _dims(80, 1024, 16, 24, 51865, 1024, 16, 24),
+    "large-v2": _dims(80, 1280, 20, 32, 51865, 1280, 20, 32),
+    "large-v3": _dims(128, 1280, 20, 32, 51866, 1280, 20, 32),
+    "large-v3-turbo": _dims(128, 1280, 20, 32, 51866, 1280, 20, 4),
+}
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Fixed sinusoidal positions for the audio encoder."""
+    assert channels % 2 == 0
+    log_inc = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_inc * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+
+
+def _init_linear(key, d_in, d_out, bias=True):
+    w = jax.random.normal(key, (d_in, d_out), jnp.float32) * (d_in**-0.5)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _init_ln(d):
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def _init_attn(key, d, cross=False):
+    ks = jax.random.split(key, 4)
+    return {
+        "q": _init_linear(ks[0], d, d),
+        "k": _init_linear(ks[1], d, d, bias=False),
+        "v": _init_linear(ks[2], d, d),
+        "out": _init_linear(ks[3], d, d),
+    }
+
+
+def _init_block(key, d, cross: bool):
+    ks = jax.random.split(key, 4)
+    block = {
+        "attn_ln": _init_ln(d),
+        "attn": _init_attn(ks[0], d),
+        "mlp_ln": _init_ln(d),
+        "mlp": {
+            "fc1": _init_linear(ks[1], d, 4 * d),
+            "fc2": _init_linear(ks[2], 4 * d, d),
+        },
+    }
+    if cross:
+        block["cross_ln"] = _init_ln(d)
+        block["cross"] = _init_attn(ks[3], d)
+    return block
+
+
+def _stack_blocks(blocks: list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_params(dims: WhisperDims, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random-init parameter pytree (layer-stacked blocks)."""
+    k = jax.random.split(key, 8)
+    d_a, d_t = dims.n_audio_state, dims.n_text_state
+    enc_blocks = [
+        _init_block(kk, d_a, cross=False)
+        for kk in jax.random.split(k[0], dims.n_audio_layer)
+    ]
+    dec_blocks = [
+        _init_block(kk, d_t, cross=True)
+        for kk in jax.random.split(k[1], dims.n_text_layer)
+    ]
+    params = {
+        "encoder": {
+            "conv1": {
+                "w": jax.random.normal(k[2], (d_a, dims.n_mels, 3)) * 0.02,
+                "b": jnp.zeros((d_a,)),
+            },
+            "conv2": {
+                "w": jax.random.normal(k[3], (d_a, d_a, 3)) * 0.02,
+                "b": jnp.zeros((d_a,)),
+            },
+            "pos_emb": jnp.asarray(sinusoids(dims.n_audio_ctx, d_a)),
+            "blocks": _stack_blocks(enc_blocks),
+            "ln_post": _init_ln(d_a),
+        },
+        "decoder": {
+            "token_emb": jax.random.normal(k[4], (dims.n_vocab, d_t)) * 0.02,
+            "pos_emb": jax.random.normal(k[5], (dims.n_text_ctx, d_t)) * 0.02,
+            "blocks": _stack_blocks(dec_blocks),
+            "ln": _init_ln(d_t),
+        },
+    }
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
+# ---------------------------------------------------------------------------
+# Forward pieces
+
+
+def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
+    # LN statistics in f32 regardless of activation dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def linear(x: jax.Array, p: Params) -> jax.Array:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head)
+
+
+def mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_head: int,
+    causal: bool = False,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-head attention, (B, Tq, D) x (B, Tk, D) → (B, Tq, D).
+
+    f32 logits/softmax; MXU matmuls in the activation dtype.
+    """
+    b, tq, d = q.shape
+    tk = k.shape[1]
+    scale = (d // n_head) ** -0.5
+    qh = _split_heads(q, n_head)
+    kh = _split_heads(k, n_head)
+    vh = _split_heads(v, n_head)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+        logits = jnp.where(causal_mask[None, None], logits, -jnp.inf)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
+    return out.reshape(b, tq, d)
+
+
+def _attn_block(x, p, n_head, causal=False):
+    h = layer_norm(x, p["attn_ln"])
+    q = linear(h, p["attn"]["q"])
+    k = linear(h, p["attn"]["k"])
+    v = linear(h, p["attn"]["v"])
+    return x + linear(mha(q, k, v, n_head, causal=causal), p["attn"]["out"])
+
+
+def _mlp_block(x, p):
+    h = layer_norm(x, p["mlp_ln"])
+    h = linear(h, p["mlp"]["fc1"])
+    h = jax.nn.gelu(h, approximate=False)
+    return x + linear(h, p["mlp"]["fc2"])
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+
+
+def encoder_forward(params: Params, dims: WhisperDims, mel: jax.Array) -> jax.Array:
+    """mel (B, n_mels, 3000) → audio features (B, 1500, d)."""
+    enc = params["encoder"]
+    dtype = enc["conv1"]["w"].dtype
+    x = mel.astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1"]["w"], (1,), [(1, 1)], dimension_numbers=("NCH", "OIH", "NCH")
+    ) + enc["conv1"]["b"][None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2"]["w"], (2,), [(1, 1)], dimension_numbers=("NCH", "OIH", "NCH")
+    ) + enc["conv2"]["b"][None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    x = x.transpose(0, 2, 1)  # (B, T, D)
+    x = x + enc["pos_emb"].astype(dtype)
+
+    n_head = dims.n_audio_head
+
+    def body(carry, block):
+        h = _attn_block(carry, block, n_head, causal=False)
+        h = _mlp_block(h, block)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"])
+
+
+# ---------------------------------------------------------------------------
+# Cross-attention KV precompute + decoder
+
+
+def precompute_cross_kv(params: Params, dims: WhisperDims, audio_features: jax.Array):
+    """K/V of every decoder layer's cross-attention over the encoder output.
+
+    Returns a pytree {"k","v"} of (L, B, 1500, D) — computed once per
+    window instead of every decode step.
+    """
+    blocks = params["decoder"]["blocks"]
+
+    def body(_, block):
+        k = linear(audio_features, block["cross"]["k"])
+        v = linear(audio_features, block["cross"]["v"])
+        return None, {"k": k, "v": v}
+
+    _, kv = jax.lax.scan(body, None, blocks)
+    return kv
+
+
+def init_kv_cache(
+    dims: WhisperDims, batch: int, max_len: int | None = None, dtype=jnp.bfloat16
+):
+    """Preallocated self-attention cache: {"k","v"} (L, B, max_len, D)."""
+    max_len = max_len or dims.n_text_ctx
+    shape = (dims.n_text_layer, batch, max_len, dims.n_text_state)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def decoder_forward(
+    params: Params,
+    dims: WhisperDims,
+    tokens: jax.Array,
+    cross_kv: Params,
+    kv_cache: Params | None = None,
+    pos: jax.Array | int = 0,
+):
+    """Decoder forward.
+
+    tokens (B, T): full-sequence (prefill / teacher-forcing) when
+    kv_cache covers positions [pos, pos+T); incremental when T == 1.
+    Returns (logits (B, T, vocab), updated kv_cache).
+    """
+    dec = params["decoder"]
+    dtype = dec["token_emb"].dtype
+    b, t = tokens.shape
+    n_head = dims.n_text_head
+
+    x = dec["token_emb"][tokens].astype(dtype)
+    pos_ids = pos + jnp.arange(t)
+    x = x + dec["pos_emb"][pos_ids].astype(dtype)
+
+    use_cache = kv_cache is not None
+    if not use_cache:
+        kv_cache = init_kv_cache(dims, b, max_len=t, dtype=dtype)
+        pos = 0
+
+    cache_len = kv_cache["k"].shape[2]
+    # positions < pos + t are valid keys
+    key_pos = jnp.arange(cache_len)
+    q_pos = pos + jnp.arange(t)
+    attn_mask = key_pos[None, :] <= q_pos[:, None]  # (t, cache_len)
+
+    def body(x, layer):
+        block, ckv, cache = layer
+        # self-attention with cache
+        h = layer_norm(x, block["attn_ln"])
+        q = linear(h, block["attn"]["q"])
+        k = linear(h, block["attn"]["k"])
+        v = linear(h, block["attn"]["v"])
+        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, pos, 0))
+        attn = mha(
+            q,
+            ck.astype(q.dtype),
+            cv.astype(q.dtype),
+            n_head,
+            mask=attn_mask[None, None],
+        )
+        x = x + linear(attn, block["attn"]["out"])
+        # cross-attention (precomputed K/V)
+        h = layer_norm(x, block["cross_ln"])
+        cq = linear(h, block["cross"]["q"])
+        cattn = mha(cq, ckv["k"].astype(cq.dtype), ckv["v"].astype(cq.dtype), n_head)
+        x = x + linear(cattn, block["cross"]["out"])
+        x = _mlp_block(x, block)
+        return x, {"k": ck, "v": cv}
+
+    x, new_cache = jax.lax.scan(body, x, (dec["blocks"], cross_kv, kv_cache))
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.einsum(
+        "btd,vd->btv", x, dec["token_emb"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, (new_cache if use_cache else None)
+
+
+def forward(params: Params, dims: WhisperDims, mel: jax.Array, tokens: jax.Array):
+    """Full teacher-forced forward: (mel, tokens) → logits. Test/entry path."""
+    audio = encoder_forward(params, dims, mel)
+    cross_kv = precompute_cross_kv(params, dims, audio)
+    logits, _ = decoder_forward(params, dims, tokens, cross_kv)
+    return logits
+
+
+def cast_params(params: Params, dtype) -> Params:
+    """Cast all floating-point leaves (LN stays accurate via f32 compute)."""
+    def cast(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(cast, params)
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
