@@ -136,12 +136,17 @@ def update_ts_floor(
 ) -> jax.Array:
     """New minimum-allowed timestamp id after sampling next_tok.
 
-    Mirrors openai/whisper: when next_tok *opens* a timestamp pair (the
-    token before it was not a timestamp) the same value may close the
-    pair, so the floor is inclusive; when it *closes* a pair the floor
-    moves past it (+1).
+    Mirrors openai/whisper's timestamp_last bookkeeping: a timestamp that
+    follows text keeps an *inclusive* floor (the adjacent pair token may
+    repeat the same value); a timestamp following a timestamp moves the
+    floor past itself; and once text follows a timestamp the floor bumps
+    past that timestamp (segment ends are strictly greater than starts).
     """
-    is_ts = next_tok >= sp.timestamp_begin
-    opened = is_ts & (prev_tok < sp.timestamp_begin)
-    new_floor = jnp.where(opened, next_tok, next_tok + 1)
-    return jnp.where(is_ts, jnp.maximum(ts_floor, new_floor), ts_floor)
+    tsb = sp.timestamp_begin
+    is_ts = next_tok >= tsb
+    prev_is_ts = prev_tok >= tsb
+    floor = ts_floor
+    floor = jnp.where(is_ts & ~prev_is_ts, jnp.maximum(floor, next_tok), floor)
+    floor = jnp.where(is_ts & prev_is_ts, jnp.maximum(floor, next_tok + 1), floor)
+    floor = jnp.where(~is_ts & prev_is_ts, jnp.maximum(floor, prev_tok + 1), floor)
+    return floor
