@@ -1,0 +1,96 @@
+"""Beam search properties: beam-1 ≡ greedy, beam-5 grammar validity."""
+
+import numpy as np
+import pytest
+
+from turbo_whisper_workspace_tpu.decode import beam, greedy, rules as rules_mod, tokenizer
+from turbo_whisper_workspace_tpu.models import convert, whisper
+
+
+def _tiny_dims():
+    return whisper.WhisperDims(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=2, n_vocab=517, n_text_ctx=448, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import torch
+    from transformers import WhisperForConditionalGeneration
+
+    dims = _tiny_dims()
+    cfg = convert.hf_config_from_dims(dims)
+    torch.manual_seed(2)
+    model = WhisperForConditionalGeneration(cfg).eval()
+    params = convert.params_from_hf_state_dict(model.state_dict(), dims)
+    sp = tokenizer.special_tokens_for_vocab(dims.n_vocab)
+    return params, dims, sp
+
+
+@pytest.mark.parametrize("timestamps", [False, True])
+def test_beam1_equals_greedy(setup, rng, timestamps):
+    params, dims, sp = setup
+    drules = rules_mod.DecodeRules(specials=sp, timestamps=timestamps)
+    mel = rng.standard_normal((2, dims.n_mels, 3000)).astype(np.float32)
+    prompt = np.array([[sp.sot, sp.transcribe]] * 2, np.int32)
+
+    g = greedy.greedy_decode(params, dims, mel, prompt, rules=drules, max_len=16)
+    b = beam.beam_decode(
+        params, dims, mel, prompt, rules=drules, beam_size=1, max_len=16
+    )
+    for i in range(2):
+        glen, blen = int(g.lengths[i]), int(b.lengths[i])
+        assert glen == blen
+        np.testing.assert_array_equal(
+            np.asarray(g.tokens)[i, : 2 + glen], np.asarray(b.tokens)[i, : 2 + blen]
+        )
+    np.testing.assert_allclose(
+        np.asarray(g.sum_logprobs), np.asarray(b.sum_logprobs), atol=1e-3
+    )
+
+
+def test_beam5_valid_and_ranked(setup, rng):
+    params, dims, sp = setup
+    drules = rules_mod.DecodeRules(specials=sp, timestamps=True)
+    mel = rng.standard_normal((2, dims.n_mels, 3000)).astype(np.float32)
+    prompt = np.array([[sp.sot, sp.transcribe]] * 2, np.int32)
+
+    res = beam.beam_decode(
+        params, dims, mel, prompt, rules=drules, beam_size=5, max_len=20
+    )
+    assert res.all_tokens.shape == (2, 5, 22)
+    scores = np.asarray(res.all_scores)
+    # finished set sorted descending by construction
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    # best hypothesis obeys the timestamp grammar
+    for i in range(2):
+        toks = [int(t) for t in np.asarray(res.tokens)[i, 2:]][: int(res.lengths[i])]
+        assert toks[0] >= sp.timestamp_begin
+        last_ts = sp.timestamp_begin
+        for j, t in enumerate(toks):
+            if t >= sp.timestamp_begin:
+                assert t >= last_ts
+                last_ts = t
+            else:
+                assert t < sp.eot
+
+
+def test_beam_batch_independence(setup, rng):
+    """Each batch item's beam search is independent of its neighbors."""
+    params, dims, sp = setup
+    drules = rules_mod.DecodeRules(specials=sp, timestamps=True)
+    mel = rng.standard_normal((2, dims.n_mels, 3000)).astype(np.float32)
+    prompt2 = np.array([[sp.sot, sp.transcribe]] * 2, np.int32)
+    prompt1 = prompt2[:1]
+
+    both = beam.beam_decode(
+        params, dims, mel, prompt2, rules=drules, beam_size=3, max_len=12
+    )
+    solo = beam.beam_decode(
+        params, dims, mel[:1], prompt1, rules=drules, beam_size=3, max_len=12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(both.tokens)[0], np.asarray(solo.tokens)[0]
+    )

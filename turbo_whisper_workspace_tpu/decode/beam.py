@@ -1,0 +1,256 @@
+"""Fixed-shape beam search with Whisper's constraint grammar, under jit.
+
+The reference reaches beam search only through its retry ladder
+(dynamic_bar_audio.py:513-560 passes beam sizes 10/15 to the HF
+pipeline). Here beam-5 with timestamp/language-token constraints is a
+first-class jitted decoder (BASELINE config #3).
+
+TPU-first shape discipline: beams are flattened into the batch axis
+(B*K rows through the decoder), alive and finished hypothesis sets are
+fixed (B, K) arrays, and every step is pure gather/top-k — so the whole
+search is one `lax.while_loop` in one XLA program and the same compiled
+code serves any batch size. Beam state that must cross devices when the
+batch axis is sharded (scores, source-beam indices) moves via XLA
+collectives inserted automatically from sharding annotations
+(parallel/sharding.py); nothing here is host-side.
+
+Semantics follow openai/whisper's BeamSearchDecoder + MaximumLikelihoodRanker:
+sum-logprob scoring during search, EOT hypotheses retired into the
+finished set, termination when every batch item holds K finished
+hypotheses, final ranking by length-normalized score.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import whisper as wm
+from .rules import DecodeRules, NEG_INF, update_ts_floor
+
+
+class BeamResult(NamedTuple):
+    tokens: jax.Array          # (B, total) best hypothesis, EOT-padded
+    lengths: jax.Array         # (B,) sampled length of best hypothesis
+    sum_logprobs: jax.Array    # (B,)
+    avg_logprobs: jax.Array    # (B,)
+    no_speech_probs: jax.Array # (B,)
+    all_tokens: jax.Array      # (B, K, total) full finished set
+    all_scores: jax.Array      # (B, K)
+
+
+def _tile_beams(tree, k: int):
+    """(L, B, ...) → (L, B*K, ...) by repeating each batch row K times."""
+    return jax.tree.map(
+        lambda x: jnp.repeat(x, k, axis=1), tree
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "rules", "beam_size", "max_len", "sot_index"),
+)
+def beam_decode_features(
+    params,
+    dims: wm.WhisperDims,
+    cross_kv,                     # (L, B, 1500, D)
+    prompt: jax.Array,            # (B, P)
+    *,
+    rules: DecodeRules,
+    beam_size: int = 5,
+    max_len: int = 224,
+    sot_index: int = 0,
+) -> BeamResult:
+    sp = rules.specials
+    b, p = prompt.shape
+    k = beam_size
+    bk = b * k
+    total = p + max_len
+    assert total <= dims.n_text_ctx
+
+    cross_kv = _tile_beams(cross_kv, k)
+    cache = wm.init_kv_cache(
+        dims, bk, max_len=total, dtype=params["decoder"]["token_emb"].dtype
+    )
+    static_mask = rules.static_mask()
+    begin_mask = rules.begin_mask()
+
+    prompt_bk = jnp.repeat(prompt, k, axis=0)
+    prefill_logits, cache = wm.decoder_forward(
+        params, dims, prompt_bk, cross_kv, cache, pos=0
+    )
+    no_speech_probs = jax.nn.softmax(
+        prefill_logits[:, sot_index].astype(jnp.float32), axis=-1
+    )[:, sp.no_speech].reshape(b, k)[:, 0]
+
+    tokens0 = jnp.concatenate(
+        [prompt_bk, jnp.full((bk, max_len), sp.eot, jnp.int32)], axis=1
+    ).reshape(b, k, total)
+
+    class Carry(NamedTuple):
+        step: jax.Array
+        alive_tokens: jax.Array     # (B, K, total)
+        alive_scores: jax.Array     # (B, K) sum logprob
+        cache: dict
+        last_logits: jax.Array      # (B*K, V)
+        last_tok: jax.Array         # (B*K,)
+        penult_tok: jax.Array       # (B*K,)
+        ts_floor: jax.Array         # (B*K,)
+        fin_tokens: jax.Array       # (B, K, total)
+        fin_scores: jax.Array       # (B, K)
+        fin_lengths: jax.Array      # (B, K)
+
+    # beam 0 active, the rest start at -inf so step 0 yields K distinct beams
+    alive_scores = jnp.tile(
+        jnp.concatenate(
+            [jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)]
+        )[None],
+        (b, 1),
+    ).astype(jnp.float32)
+
+    non_ts = jnp.zeros((bk,), jnp.int32)
+    ts_sent = jnp.full((bk,), sp.timestamp_begin, jnp.int32)
+    init = Carry(
+        step=jnp.array(0),
+        alive_tokens=tokens0,
+        alive_scores=alive_scores,
+        cache=cache,
+        last_logits=prefill_logits[:, -1].astype(jnp.float32),
+        last_tok=non_ts,
+        penult_tok=ts_sent,
+        ts_floor=jnp.full((bk,), sp.timestamp_begin, jnp.int32),
+        fin_tokens=jnp.full((b, k, total), sp.eot, jnp.int32),
+        fin_scores=jnp.full((b, k), NEG_INF, jnp.float32),
+        fin_lengths=jnp.zeros((b, k), jnp.int32),
+    )
+
+    v = sp.n_vocab
+
+    def cond(c: Carry):
+        saturated = jnp.all(c.fin_scores > NEG_INF / 2)
+        return (c.step < max_len) & jnp.logical_not(saturated)
+
+    def body(c: Carry) -> Carry:
+        masked = rules.apply(
+            c.last_logits,
+            is_begin=c.step == 0,
+            last_tok=c.last_tok,
+            penult_tok=c.penult_tok,
+            ts_floor=c.ts_floor,
+            static_mask=static_mask,
+            begin_mask=begin_mask,
+        )
+        logp = jax.nn.log_softmax(masked, axis=-1)          # (B*K, V)
+        cand = c.alive_scores.reshape(bk, 1) + logp          # (B*K, V)
+        cand = cand.reshape(b, k * v)
+
+        # top 2K candidates per batch item — enough to fill K alive
+        # (non-EOT) beams even if K candidates are EOT
+        top_scores, top_idx = jax.lax.top_k(cand, 2 * k)     # (B, 2K)
+        src_beam = top_idx // v                              # (B, 2K)
+        tok = (top_idx % v).astype(jnp.int32)                # (B, 2K)
+        is_eot = tok == sp.eot
+
+        pos = p + c.step
+
+        # ---- finished set: merge EOT candidates, keep top-K by score
+        eot_scores = jnp.where(is_eot, top_scores, NEG_INF)  # (B, 2K)
+        # gather candidate token buffers (with EOT written at pos)
+        cand_tokens = jnp.take_along_axis(
+            c.alive_tokens, src_beam[:, :, None], axis=1
+        )                                                    # (B, 2K, total)
+        merged_scores = jnp.concatenate([c.fin_scores, eot_scores], axis=1)
+        merged_tokens = jnp.concatenate([c.fin_tokens, cand_tokens], axis=1)
+        merged_lengths = jnp.concatenate(
+            [c.fin_lengths, jnp.full((b, 2 * k), c.step, jnp.int32)], axis=1
+        )
+        fin_top, fin_idx = jax.lax.top_k(merged_scores, k)   # (B, K)
+        fin_tokens = jnp.take_along_axis(
+            merged_tokens, fin_idx[:, :, None], axis=1
+        )
+        fin_lengths = jnp.take_along_axis(merged_lengths, fin_idx, axis=1)
+
+        # ---- alive set: best K non-EOT candidates
+        alive_cand_scores = jnp.where(is_eot, NEG_INF, top_scores)
+        alive_top, alive_idx = jax.lax.top_k(alive_cand_scores, k)  # (B, K)
+        alive_src = jnp.take_along_axis(src_beam, alive_idx, axis=1)  # (B, K)
+        alive_tok = jnp.take_along_axis(tok, alive_idx, axis=1)       # (B, K)
+
+        # gather alive token buffers + write the new token
+        alive_tokens = jnp.take_along_axis(
+            c.alive_tokens, alive_src[:, :, None], axis=1
+        )
+        alive_tokens = jax.lax.dynamic_update_slice(
+            alive_tokens, alive_tok[:, :, None], (0, 0, pos)
+        )
+
+        # ---- gather per-beam decoder state by flat source index
+        flat_src = (
+            jnp.arange(b)[:, None] * k + alive_src
+        ).reshape(bk)                                        # (B*K,)
+        cache = jax.tree.map(
+            lambda x: jnp.take(x, flat_src, axis=1), c.cache
+        )
+        last_tok_g = jnp.take(c.last_tok, flat_src)
+        ts_floor_g = jnp.take(c.ts_floor, flat_src)
+
+        next_tok = alive_tok.reshape(bk)
+        ts_floor = update_ts_floor(ts_floor_g, next_tok, last_tok_g, sp)
+        new_penult = jnp.where(c.step == 0, ts_sent, last_tok_g)
+
+        logits, cache = wm.decoder_forward(
+            params, dims, next_tok[:, None], cross_kv, cache, pos=pos
+        )
+        return Carry(
+            step=c.step + 1,
+            alive_tokens=alive_tokens,
+            alive_scores=alive_top,
+            cache=cache,
+            last_logits=logits[:, 0].astype(jnp.float32),
+            last_tok=next_tok,
+            penult_tok=new_penult,
+            ts_floor=ts_floor,
+            fin_tokens=fin_tokens,
+            fin_scores=fin_top,
+            fin_lengths=fin_lengths,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # If nothing finished (max_len hit), fall back to alive hypotheses.
+    any_fin = final.fin_scores > NEG_INF / 2
+    fin_scores = jnp.where(any_fin, final.fin_scores, final.alive_scores)
+    fin_tokens = jnp.where(
+        any_fin[:, :, None], final.fin_tokens, final.alive_tokens
+    )
+    fin_lengths = jnp.where(
+        any_fin, final.fin_lengths, jnp.full_like(final.fin_lengths, max_len)
+    )
+
+    # MaximumLikelihoodRanker: maximize sum_logprob / (length + 1)
+    norm = fin_scores / (fin_lengths.astype(jnp.float32) + 1.0)
+    best = jnp.argmax(norm, axis=1)                          # (B,)
+    best_tokens = jnp.take_along_axis(
+        fin_tokens, best[:, None, None], axis=1
+    )[:, 0]
+    best_scores = jnp.take_along_axis(fin_scores, best[:, None], axis=1)[:, 0]
+    best_lengths = jnp.take_along_axis(fin_lengths, best[:, None], axis=1)[:, 0]
+    avg = best_scores / (best_lengths.astype(jnp.float32) + 1.0)
+    return BeamResult(
+        tokens=best_tokens,
+        lengths=best_lengths,
+        sum_logprobs=best_scores,
+        avg_logprobs=avg,
+        no_speech_probs=no_speech_probs,
+        all_tokens=fin_tokens,
+        all_scores=fin_scores,
+    )
+
+
+def beam_decode(params, dims, mel, prompt, **kw) -> BeamResult:
+    audio = wm.encoder_forward(params, dims, mel)
+    cross_kv = wm.precompute_cross_kv(params, dims, audio)
+    return beam_decode_features(params, dims, cross_kv, prompt, **kw)
