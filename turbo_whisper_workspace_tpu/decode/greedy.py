@@ -44,11 +44,17 @@ def greedy_decode_features(
     *,
     rules: DecodeRules,
     max_len: int = 224,
-    temperature: float = 0.0,
+    temperature: jax.Array | float = 0.0,
     key: jax.Array | None = None,
     sot_index: int = 0,
     cache_len: int | None = None,
 ) -> DecodeResult:
+    # temperature is a *traced* value (escalation fallbacks re-decode at
+    # 0.2…1.0 — a static temperature would recompile the whole loop per
+    # retry). argmax-vs-sample is selected with jnp.where below.
+    temperature = jnp.asarray(temperature, jnp.float32)
+    if key is None:
+        key = jax.random.PRNGKey(0)
     sp = rules.specials
     b, p = prompt.shape
     total = p + max_len
@@ -117,12 +123,13 @@ def greedy_decode_features(
             begin_mask=begin_mask,
         )
         logp = jax.nn.log_softmax(masked, axis=-1)
-        if temperature > 0 and key is not None:
-            step_key = jax.random.fold_in(key, c.step)
-            next_tok = jax.random.categorical(step_key, masked / temperature)
-        else:
-            next_tok = jnp.argmax(masked, axis=-1)
-        next_tok = next_tok.astype(jnp.int32)
+        step_key = jax.random.fold_in(key, c.step)
+        sampled = jax.random.categorical(
+            step_key, masked / jnp.maximum(temperature, 1e-6)
+        )
+        next_tok = jnp.where(
+            temperature > 0, sampled, jnp.argmax(masked, axis=-1)
+        ).astype(jnp.int32)
         tok_logp = jnp.take_along_axis(logp, next_tok[:, None], axis=-1)[:, 0]
 
         next_tok = jnp.where(c.finished, sp.eot, next_tok)

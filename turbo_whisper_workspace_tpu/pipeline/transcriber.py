@@ -1,0 +1,274 @@
+"""Batched Whisper transcriber: files → chunks → one compiled batch path.
+
+Replaces the reference's HF ASR pipeline call (hot loop #1,
+vocalis/core/audio_pipeline.py:323-369). All 30 s windows from all input
+files are flattened into fixed-size device batches (padded with silence
+so shapes never change → zero recompiles), run through one jitted
+mel→encoder→cross-KV step and one jitted decode loop, then merged back
+per file. Quality fallbacks follow openai/whisper's long-form logic:
+temperature escalation when a window's avg logprob or compression ratio
+fails thresholds, silence skip via no-speech probability — these mirror
+the reference's retry ladder (dynamic_bar_audio.py:513-560) but batch
+the retries instead of looping per file.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+import zlib
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TranscriptionConfig
+from ..decode import beam as beam_mod
+from ..decode import greedy as greedy_mod
+from ..decode import longform
+from ..decode.rules import DecodeRules
+from ..decode.tokenizer import WhisperTokenizer
+from ..models import whisper as wm
+from ..ops import mel as mel_ops
+
+LOGPROB_THRESHOLD = -1.0
+COMPRESSION_RATIO_THRESHOLD = 2.4
+NO_SPEECH_THRESHOLD = 0.6
+FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+
+
+def compression_ratio(text: str) -> float:
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "num_mels"))
+def _encode_batch(params, dims: wm.WhisperDims, audio: jax.Array, num_mels: int):
+    """waveform batch (B, 480000) → decoder cross-KV (+ mel time)."""
+    mels = mel_ops.log_mel_spectrogram(audio, num_mels=num_mels)
+    feats = wm.encoder_forward(params, dims, mels)
+    return wm.precompute_cross_kv(params, dims, feats)
+
+
+@dataclass
+class Transcriber:
+    params: wm.Params
+    dims: wm.WhisperDims
+    tokenizer: WhisperTokenizer
+    config: TranscriptionConfig = field(default_factory=TranscriptionConfig)
+
+    def __post_init__(self):
+        self.rules = DecodeRules(
+            specials=self.tokenizer.specials,
+            timestamps=self.config.return_timestamps,
+        )
+
+    # -- prompts ----------------------------------------------------------
+    def _prompt_row(self, language: str | None) -> list[int]:
+        return self.tokenizer.specials.sot_sequence(
+            language=language or self.config.language or "en",
+            task=self.config.task,
+            timestamps=self.config.return_timestamps,
+        )
+
+    # -- decode one fixed-shape batch of windows --------------------------
+    def _decode_batch(
+        self,
+        audio_batch: np.ndarray,               # (B, N_SAMPLES)
+        languages: Sequence[str | None],
+        temperature: float = 0.0,
+        beam_size: int | None = None,
+    ):
+        beam_size = beam_size if beam_size is not None else self.config.beam_size
+        prompt = np.array(
+            [self._prompt_row(l) for l in languages], np.int32
+        )
+        cross_kv = _encode_batch(
+            self.params, self.dims, jnp.asarray(audio_batch), self.dims.n_mels
+        )
+        if beam_size > 1 and temperature == 0.0:
+            res = beam_mod.beam_decode_features(
+                self.params, self.dims, cross_kv, jnp.asarray(prompt),
+                rules=self.rules, beam_size=beam_size,
+                max_len=self.config.max_decode_len,
+            )
+        else:
+            res = greedy_mod.greedy_decode_features(
+                self.params, self.dims, cross_kv, jnp.asarray(prompt),
+                rules=self.rules, max_len=self.config.max_decode_len,
+                temperature=float(temperature),
+                key=jax.random.PRNGKey(int(temperature * 1000) + 1)
+                if temperature > 0 else None,
+            )
+        return res, prompt.shape[1]
+
+    # -- window postprocess ----------------------------------------------
+    def _window_segments(self, sampled_tokens: np.ndarray) -> list[dict]:
+        tk = self.tokenizer
+        if self.config.return_timestamps:
+            segs = tk.split_timestamps(sampled_tokens)
+            for s in segs:
+                s["text"] = tk.decode_text(s.pop("tokens"))
+            return segs
+        text = tk.decode_text(sampled_tokens)
+        return [{"start": 0.0, "end": None, "text": text}] if text else []
+
+    def detect_languages(self, first_windows: np.ndarray) -> list[str]:
+        """Batched language ID on each file's first window."""
+        sp = self.tokenizer.specials
+        if not sp.multilingual:
+            return ["en"] * len(first_windows)
+        cross_kv = _encode_batch(
+            self.params, self.dims, jnp.asarray(first_windows), self.dims.n_mels
+        )
+        probs = np.asarray(
+            greedy_mod.detect_language_features(
+                self.params, self.dims, cross_kv, sp.sot, sp.sot + 1,
+                sp.n_languages,
+            )
+        )
+        from ..decode.tokenizer import LANGUAGES
+
+        return [LANGUAGES[int(i)] for i in probs.argmax(-1)]
+
+    # -- public API -------------------------------------------------------
+    def transcribe(
+        self, audios: Sequence[np.ndarray], languages: Sequence[str] | None = None
+    ) -> list[dict]:
+        """Transcribe a list of waveforms (16 kHz mono float32).
+
+        Returns one result dict per file: {"text", "chunks", "segments",
+        "language", "duration", "processing_times"} — the reference's
+        result keys (vocalis/core/audio_pipeline.py:666-683 subset).
+        """
+        t0 = time.time()
+        cfg = self.config
+        sp = self.tokenizer.specials
+
+        plans: list[longform.ChunkPlan] = []
+        for fi, audio in enumerate(audios):
+            plans.extend(
+                longform.plan_chunks(
+                    len(audio), fi, chunk_s=cfg.chunk_length_s,
+                    stride_s=cfg.stride_length_s,
+                )
+            )
+        windows = np.stack(
+            [longform.slice_chunk(audios[p.file_index], p) for p in plans]
+        )
+
+        # per-file language: pinned > detected
+        if languages is None:
+            if cfg.language is not None or not sp.multilingual:
+                languages = [cfg.language or "en"] * len(audios)
+            else:
+                firsts = np.stack(
+                    [longform.slice_chunk(a, longform.plan_chunks(len(a), i)[0])
+                     for i, a in enumerate(audios)]
+                )
+                languages = self.detect_languages(firsts)
+        win_langs = [languages[p.file_index] for p in plans]
+
+        # fixed-size batches, padded with silence
+        bsz = cfg.batch_size
+        n_win = len(plans)
+        window_results: list[dict | None] = [None] * n_win
+        for lo in range(0, n_win, bsz):
+            hi = min(lo + bsz, n_win)
+            batch = windows[lo:hi]
+            langs = list(win_langs[lo:hi])
+            if hi - lo < bsz:
+                pad = bsz - (hi - lo)
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, batch.shape[1]), np.float32)]
+                )
+                langs += ["en"] * pad
+            self._decode_windows_with_fallback(
+                batch, langs, lo, hi, window_results
+            )
+
+        # merge windows per file
+        out = []
+        elapsed = time.time() - t0
+        for fi, audio in enumerate(audios):
+            f_plans = [p for p in plans if p.file_index == fi]
+            f_idx = [i for i, p in enumerate(plans) if p.file_index == fi]
+            duration = len(audio) / mel_ops.SAMPLE_RATE
+            segs = longform.merge_chunk_segments(
+                [window_results[i]["segments"] for i in f_idx], f_plans, duration
+            )
+            result = longform.segments_to_result(segs, duration)
+            result["segments"] = segs
+            result["language"] = languages[fi]
+            result["processing_times"] = {"transcription": elapsed}
+            out.append(result)
+        return out
+
+    def _decode_windows_with_fallback(
+        self, batch, langs, lo, hi, window_results
+    ) -> None:
+        """Decode one fixed batch; re-decode failing rows at escalating
+        temperatures (openai/whisper §4.5 fallback; reference analogue:
+        dynamic_bar_audio.py:528-543)."""
+        pending = np.arange(hi - lo)
+        cur_batch, cur_langs = batch, langs
+        for t_i, temp in enumerate(FALLBACK_TEMPERATURES):
+            res, p_len = self._decode_batch(cur_batch, cur_langs, temperature=temp)
+            tokens = np.asarray(res.tokens)[:, p_len:]
+            lengths = np.asarray(res.lengths)
+            avg_lp = np.asarray(res.avg_logprobs)
+            no_sp = np.asarray(res.no_speech_probs)
+
+            still_failed = []
+            for row, win_i in enumerate(pending):
+                sampled = tokens[row, : lengths[row]]
+                segs = self._window_segments(sampled)
+                text = "".join(s["text"] for s in segs)
+                silent = (
+                    no_sp[row] > NO_SPEECH_THRESHOLD
+                    and avg_lp[row] < LOGPROB_THRESHOLD
+                )
+                failed = (
+                    not silent
+                    and t_i < len(FALLBACK_TEMPERATURES) - 1
+                    and (
+                        avg_lp[row] < LOGPROB_THRESHOLD
+                        or compression_ratio(text) > COMPRESSION_RATIO_THRESHOLD
+                    )
+                )
+                if failed:
+                    still_failed.append((row, win_i))
+                    continue
+                window_results[lo + win_i] = {
+                    "segments": [] if silent else segs,
+                    "avg_logprob": float(avg_lp[row]),
+                    "no_speech_prob": float(no_sp[row]),
+                    "temperature": temp,
+                }
+            if not still_failed:
+                return
+            # keep batch shape fixed: re-decode with the failed rows
+            # gathered to the front (the rest is silence padding); row i
+            # of the next decode corresponds to window pending[i]
+            rows = np.array([r for r, _ in still_failed])
+            nb = np.zeros_like(cur_batch)
+            nb[: len(rows)] = cur_batch[rows]
+            cur_langs = [cur_langs[r] for r in rows] + ["en"] * (
+                len(cur_batch) - len(rows)
+            )
+            cur_batch = nb
+            pending = np.array([w for _, w in still_failed])
+
+
+def load_transcriber(
+    params, dims, config: TranscriptionConfig | None = None, vocab_dir=None
+) -> Transcriber:
+    tk = WhisperTokenizer.for_model(dims.n_vocab, vocab_dir)
+    return Transcriber(
+        params=params, dims=dims, tokenizer=tk,
+        config=config or TranscriptionConfig(),
+    )
