@@ -1,0 +1,321 @@
+"""Speaker diarization: segmentation → embeddings → clustering → turns,
+plus the transcript merge that the whole workspace is built around.
+
+Rebuilds the reference's sherpa-onnx diarization engine (hot loop #2:
+vocalis/core/diar.py:91-140 calling C++ at model.py:470) and its merge
+layer (vocalis/core/diar.py:184-279) TPU-first: every 10 s window of
+every file batches through one jitted segmentation forward, active
+regions batch through one jitted embedding forward, and only the tiny
+O(turns²) clustering runs host-side (SURVEY.md §7.3 item 4). When no
+trained checkpoints are present (offline), an energy-VAD + spectral-
+statistics fallback keeps the full path functional and deterministic.
+
+Reference semantics preserved:
+* segment dict schema {"speaker": "Speaker N", "text", "start", "end"}
+  (vocalis/core/diar.py:31-51);
+* max-time-overlap speaker assignment with alternating-speaker fallback
+  (vocalis/core/diar.py:199-247);
+* auto speaker-count heuristic: ~1 speaker / 30 s, min 2, cap 10
+  (vocalis/core/diar.py:172-176);
+* min_duration_on=0.3 / min_duration_off=0.5 smoothing
+  (legacy model.py:510-515);
+* markdown conversation formatting (vocalis/core/diar.py:250-279).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DiarizationConfig
+from ..models import embedding as emb_mod
+from ..models import segmentation as seg_mod
+from ..ops import mel as mel_ops
+
+SR = mel_ops.SAMPLE_RATE
+FRAME_HZ = 10.0                      # diarization frame rate
+CROP_S = 2.0
+CROP_STEP_S = 1.0
+
+
+@dataclass
+class DiarizationSegment:
+    """Speaker turn; dict-style access kept for pipeline compatibility
+    (vocalis/core/diar.py:41-51)."""
+
+    start: float
+    end: float
+    speaker: str
+    text: str = ""
+
+    def to_dict(self) -> dict:
+        return {"start": self.start, "end": self.end,
+                "speaker": self.speaker, "text": self.text}
+
+    def __getitem__(self, key):
+        return self.to_dict()[key]
+
+    @property
+    def duration(self) -> float:
+        return self.end - self.start
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _seg_forward(params, dims, mels):
+    return seg_mod.forward(params, dims, mels)
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _emb_forward(params, dims, mels):
+    return emb_mod.forward(params, dims, mels)
+
+
+def energy_vad(audio: np.ndarray, frame_hz: float = FRAME_HZ,
+               threshold_db: float = -40.0) -> np.ndarray:
+    """Frame-level speech mask from log energy relative to peak
+    (same approach as the reference's diagnostics VAD,
+    audio_diagnostics.py:109-111)."""
+    frame = int(SR / frame_hz)
+    n = len(audio) // frame
+    if n == 0:
+        return np.zeros(0, bool)
+    frames = audio[: n * frame].reshape(n, frame)
+    rms = np.sqrt((frames**2).mean(-1) + 1e-12)
+    db = 20 * np.log10(rms / (np.abs(audio).max() + 1e-9) + 1e-12)
+    return db > threshold_db
+
+
+class SpeakerDiarizer:
+    """Public API mirrors the reference SpeakerDiarizer
+    (vocalis/core/diar.py:57-140): process_file / process_audio /
+    estimate_num_speakers / create_transcript_with_speakers /
+    format_as_conversation."""
+
+    def __init__(
+        self,
+        config: DiarizationConfig | None = None,
+        seg_params=None,
+        seg_dims: seg_mod.SegmentationDims | None = None,
+        emb_params=None,
+        emb_dims: emb_mod.EmbeddingDims | None = None,
+    ):
+        self.config = config or DiarizationConfig()
+        self.seg_params = seg_params
+        self.seg_dims = seg_dims or seg_mod.SegmentationDims()
+        self.emb_params = emb_params
+        self.emb_dims = emb_dims or emb_mod.EmbeddingDims()
+
+    # -- embeddings -------------------------------------------------------
+    def _embed_crops(self, crop_mels: np.ndarray) -> np.ndarray:
+        if self.emb_params is not None:
+            return np.asarray(
+                _emb_forward(self.emb_params, self.emb_dims, jnp.asarray(crop_mels))
+            )
+        return emb_mod.spectral_embedding(crop_mels)
+
+    # -- frame activity ---------------------------------------------------
+    def _frame_activity(self, audio: np.ndarray) -> np.ndarray:
+        """(T_frames,) speech mask at FRAME_HZ. Neural windows when
+        segmentation weights exist, energy VAD otherwise."""
+        if self.seg_params is None:
+            return energy_vad(audio)
+        win = int(seg_mod.WINDOW_S * SR)
+        n_win = max(1, int(np.ceil(len(audio) / win)))
+        padded = np.zeros(n_win * win, np.float32)
+        padded[: len(audio)] = audio
+        windows = padded.reshape(n_win, win)
+        mels = np.asarray(
+            mel_ops.log_mel_spectrogram(
+                jnp.asarray(windows), num_mels=self.seg_dims.n_mels
+            )
+        )[:, :, : self.seg_dims.window_frames]
+        logits = np.asarray(_seg_forward(self.seg_params, self.seg_dims,
+                                         jnp.asarray(mels)))
+        act = seg_mod.powerset_to_activity(logits)    # (n_win, T, 3)
+        any_speech = act.any(-1).reshape(-1)
+        total = int(len(audio) / SR * FRAME_HZ)
+        return any_speech[:total]
+
+    # -- main -------------------------------------------------------------
+    def process_audio(self, audio: np.ndarray, num_speakers: int = 0,
+                      threshold: float | None = None) -> list[DiarizationSegment]:
+        """Waveform (16 kHz mono) → speaker turns."""
+        cfg = self.config
+        threshold = threshold if threshold is not None else cfg.clustering_threshold
+        speech = self._frame_activity(audio)
+        if not speech.any():
+            return []
+
+        # 2 s crops (1 s step) over speech regions → embeddings
+        crop = int(CROP_S * SR)
+        step = int(CROP_STEP_S * SR)
+        crop_starts = []
+        for t in range(0, max(len(audio) - crop, 0) + 1, step):
+            f0, f1 = int(t / SR * FRAME_HZ), int((t + crop) / SR * FRAME_HZ)
+            window_speech = speech[f0:max(f1, f0 + 1)]
+            # only mostly-speech crops embed cleanly; boundary crops that
+            # straddle silence (or two speakers) dilute the clusters
+            if window_speech.size and window_speech.mean() >= 0.6:
+                crop_starts.append(t)
+        if not crop_starts:
+            return []
+        crops = np.stack([audio[t : t + crop] for t in crop_starts])
+        crop_mels = np.asarray(
+            mel_ops.log_mel_spectrogram(jnp.asarray(crops), num_mels=80)
+        )
+        embs = self._embed_crops(crop_mels)
+
+        labels = self._cluster(embs, num_speakers, threshold)
+
+        # frame labels by nearest covering crop (majority of overlapping crops)
+        total_frames = len(speech)
+        votes = np.full((total_frames, int(labels.max()) + 1), 0, np.int32)
+        for t, lab in zip(crop_starts, labels):
+            f0 = int(t / SR * FRAME_HZ)
+            f1 = min(int((t + crop) / SR * FRAME_HZ), total_frames)
+            votes[f0:f1, lab] += 1
+        frame_label = np.where(
+            (votes.sum(-1) > 0) & speech, votes.argmax(-1), -1
+        )
+
+        turns = self._frames_to_turns(frame_label)
+        turns = self._smooth(turns)
+        return [
+            DiarizationSegment(start=s, end=e, speaker=f"Speaker {lab}")
+            for s, e, lab in turns
+        ]
+
+    def process_file(self, path: str, num_speakers: int = 0,
+                     threshold: float | None = None) -> list[DiarizationSegment]:
+        from ..audio.io import read_audio_file
+
+        audio, _ = read_audio_file(path)
+        return self.process_audio(audio, num_speakers, threshold)
+
+    # -- clustering -------------------------------------------------------
+    def _cluster(self, embs: np.ndarray, num_speakers: int,
+                 threshold: float) -> np.ndarray:
+        from sklearn.cluster import AgglomerativeClustering
+
+        n = len(embs)
+        if n == 1:
+            return np.zeros(1, np.int32)
+        if num_speakers and num_speakers > 0:
+            k = min(num_speakers, n)
+            model = AgglomerativeClustering(n_clusters=k, metric="cosine",
+                                            linkage="average")
+        else:
+            model = AgglomerativeClustering(
+                n_clusters=None, distance_threshold=threshold,
+                metric="cosine", linkage="average",
+            )
+        labels = model.fit_predict(embs)
+        # cap at max_speakers by merging smallest clusters into nearest
+        uniq = np.unique(labels)
+        if len(uniq) > self.config.max_speakers:
+            centroids = np.stack([embs[labels == u].mean(0) for u in uniq])
+            sizes = np.array([(labels == u).sum() for u in uniq])
+            keep = uniq[np.argsort(sizes)[::-1][: self.config.max_speakers]]
+            keep_cent = np.stack([embs[labels == u].mean(0) for u in keep])
+            for u in uniq:
+                if u not in keep:
+                    c = embs[labels == u].mean(0)
+                    sims = keep_cent @ c
+                    labels[labels == u] = keep[np.argmax(sims)]
+        # relabel to dense 0..K-1 by first appearance
+        remap = {}
+        out = np.empty_like(labels)
+        for i, l in enumerate(labels):
+            if l not in remap:
+                remap[l] = len(remap)
+            out[i] = remap[l]
+        return out
+
+    # -- turn assembly ----------------------------------------------------
+    @staticmethod
+    def _frames_to_turns(frame_label: np.ndarray) -> list[tuple[float, float, int]]:
+        turns = []
+        cur, start = -1, 0
+        for i, lab in enumerate(list(frame_label) + [-1]):
+            if lab != cur:
+                if cur >= 0:
+                    turns.append((start / FRAME_HZ, i / FRAME_HZ, cur))
+                cur, start = lab, i
+        return turns
+
+    def _smooth(self, turns: list[tuple[float, float, int]]):
+        """min_duration_on / min_duration_off smoothing
+        (legacy model.py:510-515 clustering config)."""
+        cfg = self.config
+        # fill short gaps between same-speaker turns
+        filled: list[tuple[float, float, int]] = []
+        for t in turns:
+            if (filled and filled[-1][2] == t[2]
+                    and t[0] - filled[-1][1] < cfg.min_duration_off):
+                filled[-1] = (filled[-1][0], t[1], t[2])
+            else:
+                filled.append(t)
+        # drop too-short turns
+        return [t for t in filled if t[1] - t[0] >= cfg.min_duration_on]
+
+    # -- auto speaker count ----------------------------------------------
+    def estimate_num_speakers(self, audio: np.ndarray) -> int:
+        """Duration heuristic: ~1 speaker per 30 s, min 2, cap max_speakers
+        (vocalis/core/diar.py:172-176)."""
+        duration = len(audio) / SR
+        est = max(2, int(duration / 30.0))
+        return min(est, self.config.max_speakers)
+
+    # -- transcript merge -------------------------------------------------
+    @staticmethod
+    def create_transcript_with_speakers(
+        transcript_segments: Sequence[dict],
+        diar_segments: Sequence[DiarizationSegment | dict],
+    ) -> list[dict]:
+        """Assign each transcript segment the speaker with maximum time
+        overlap (vocalis/core/diar.py:211-247); alternate speakers when
+        diarization is empty (`:199-208`)."""
+        out = []
+        if not diar_segments:
+            for i, seg in enumerate(transcript_segments):
+                out.append({
+                    "speaker": f"Speaker {i % 2}",
+                    "text": seg.get("text", ""),
+                    "start": seg.get("start", 0.0),
+                    "end": seg.get("end", 0.0),
+                })
+            return out
+        for seg in transcript_segments:
+            s, e = seg.get("start", 0.0), seg.get("end", 0.0)
+            best, best_overlap = None, 0.0
+            for d in diar_segments:
+                ds, de = d["start"], d["end"]
+                overlap = max(0.0, min(e, de) - max(s, ds))
+                if overlap > best_overlap:
+                    best, best_overlap = d, overlap
+            speaker = best["speaker"] if best is not None else "Speaker 0"
+            out.append({"speaker": speaker, "text": seg.get("text", ""),
+                        "start": s, "end": e})
+        return out
+
+    @staticmethod
+    def format_as_conversation(merged_segments: Sequence[dict]) -> str:
+        """Group consecutive same-speaker segments into markdown turns
+        (vocalis/core/diar.py:250-279)."""
+        lines = []
+        cur_speaker, cur_text = None, []
+        for seg in merged_segments:
+            sp = seg.get("speaker", "Speaker 0")
+            if sp != cur_speaker:
+                if cur_speaker is not None:
+                    lines.append(f"**{cur_speaker}**: {' '.join(cur_text).strip()}")
+                cur_speaker, cur_text = sp, []
+            cur_text.append(seg.get("text", "").strip())
+        if cur_speaker is not None:
+            lines.append(f"**{cur_speaker}**: {' '.join(cur_text).strip()}")
+        return "\n\n".join(lines)
