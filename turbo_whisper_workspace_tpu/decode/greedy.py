@@ -54,7 +54,9 @@ def greedy_decode_features(
     # retry). argmax-vs-sample is selected with jnp.where below.
     temperature = jnp.asarray(temperature, jnp.float32)
     if key is None:
-        key = jax.random.PRNGKey(0)
+        # rbg: hardware-friendly PRNG — the per-step gumbel draw over the
+        # full vocab is otherwise a visible slice of the decode step
+        key = jax.random.key(0, impl="rbg")
     sp = rules.specials
     b, p = prompt.shape
     total = p + max_len
@@ -123,12 +125,13 @@ def greedy_decode_features(
             begin_mask=begin_mask,
         )
         logp = jax.nn.log_softmax(masked, axis=-1)
-        step_key = jax.random.fold_in(key, c.step)
-        sampled = jax.random.categorical(
-            step_key, masked / jnp.maximum(temperature, 1e-6)
+        # gumbel-max: argmax(logits + T·G) samples softmax(logits/T) and
+        # degenerates to exact argmax at T=0 — one branch-free formula
+        gumbel = jax.random.gumbel(
+            jax.random.fold_in(key, c.step), masked.shape, jnp.float32
         )
-        next_tok = jnp.where(
-            temperature > 0, sampled, jnp.argmax(masked, axis=-1)
+        next_tok = jnp.argmax(
+            masked + temperature * gumbel, axis=-1
         ).astype(jnp.int32)
         tok_logp = jnp.take_along_axis(logp, next_tok[:, None], axis=-1)[:, 0]
 

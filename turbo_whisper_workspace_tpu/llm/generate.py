@@ -37,7 +37,7 @@ def generate_tokens(
 ) -> GenResult:
     temperature = jnp.asarray(temperature, jnp.float32)
     if key is None:
-        key = jax.random.PRNGKey(0)
+        key = jax.random.key(0, impl="rbg")
     b, p = prompt.shape
     total = p + max_len
     assert total <= dims.max_ctx
@@ -66,12 +66,12 @@ def generate_tokens(
         return (c.step < max_len) & ~jnp.all(c.finished)
 
     def body(c):
-        step_key = jax.random.fold_in(key, c.step)
-        sampled = jax.random.categorical(
-            step_key, c.last_logits / jnp.maximum(temperature, 1e-6)
+        # gumbel-max: exact argmax at T=0, exact categorical at T>0
+        gumbel = jax.random.gumbel(
+            jax.random.fold_in(key, c.step), c.last_logits.shape, jnp.float32
         )
-        next_tok = jnp.where(
-            temperature > 0, sampled, jnp.argmax(c.last_logits, axis=-1)
+        next_tok = jnp.argmax(
+            c.last_logits + temperature * gumbel, axis=-1
         ).astype(jnp.int32)
         next_tok = jnp.where(c.finished, pad_tok, next_tok)
         finished = c.finished | jnp.any(next_tok[:, None] == eos[None], axis=-1)

@@ -202,6 +202,13 @@ def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
     return x.reshape(b, t, n_head, d // n_head)
 
 
+def _use_flash() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def mha(
     q: jax.Array,
     k: jax.Array,
@@ -212,10 +219,22 @@ def mha(
 ) -> jax.Array:
     """Multi-head attention, (B, Tq, D) x (B, Tk, D) → (B, Tq, D).
 
-    f32 logits/softmax; MXU matmuls in the activation dtype.
+    f32 logits/softmax; MXU matmuls in the activation dtype. Long
+    non-causal self-attention (the encoder's 1500-frame windows) routes
+    to the Pallas one-pass kernel in ops/attention.py, which keeps the
+    (Tq, Tk) score matrix in VMEM instead of materializing it in HBM.
     """
     b, tq, d = q.shape
     tk = k.shape[1]
+    if (not causal and mask is None and tq == tk and tq >= 256
+            and _use_flash()):
+        from ..ops.attention import flash_attention
+
+        to_heads = lambda x: x.reshape(b, tq, n_head, d // n_head).transpose(
+            0, 2, 1, 3
+        )
+        out = flash_attention(to_heads(q), to_heads(k), to_heads(v))
+        return out.transpose(0, 2, 1, 3).reshape(b, tq, d)
     scale = (d // n_head) ** -0.5
     qh = _split_heads(q, n_head)
     kh = _split_heads(k, n_head)
@@ -285,14 +304,20 @@ def encoder_forward(params: Params, dims: WhisperDims, mel: jax.Array) -> jax.Ar
 def precompute_cross_kv(params: Params, dims: WhisperDims, audio_features: jax.Array):
     """K/V of every decoder layer's cross-attention over the encoder output.
 
-    Returns a pytree {"k","v"} of (L, B, 1500, D) — computed once per
-    window instead of every decode step.
+    Returns a pytree {"k","v"} of (L, B, H, 1500, Dh) — computed once per
+    window, already in head-major layout so the per-step cross-attention
+    reads it with NO transposes (a (B,T,D)→(B,H,T,Dh) transpose of ~1 GB
+    per decode step was the single largest decode cost).
     """
     blocks = params["decoder"]["blocks"]
+    h = dims.n_text_head
+    b, t, d = audio_features.shape
 
     def body(_, block):
         k = linear(audio_features, block["cross"]["k"])
         v = linear(audio_features, block["cross"]["v"])
+        k = k.reshape(b, t, h, d // h).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, d // h).transpose(0, 2, 1, 3)
         return None, {"k": k, "v": v}
 
     _, kv = jax.lax.scan(body, None, blocks)
@@ -359,10 +384,19 @@ def decoder_forward(
             mask=attn_mask[None, None],
         )
         x = x + linear(attn, block["attn"]["out"])
-        # cross-attention (precomputed K/V)
+        # cross-attention over head-major precomputed K/V (no transposes)
         h = layer_norm(x, block["cross_ln"])
         cq = linear(h, block["cross"]["q"])
-        cattn = mha(cq, ckv["k"].astype(cq.dtype), ckv["v"].astype(cq.dtype), n_head)
+        bq, tq, dd = cq.shape
+        qh = cq.reshape(bq, tq, n_head, dd // n_head).transpose(0, 2, 1, 3)
+        ck_h = ckv["k"].astype(cq.dtype)          # (B, H, Tk, Dh)
+        cv_h = ckv["v"].astype(cq.dtype)
+        clogits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, ck_h, preferred_element_type=jnp.float32
+        ) * ((dd // n_head) ** -0.5)
+        cw = jax.nn.softmax(clogits, axis=-1).astype(cq.dtype)
+        cattn = jnp.einsum("bhqk,bhkd->bhqd", cw, cv_h)
+        cattn = cattn.transpose(0, 2, 1, 3).reshape(bq, tq, dd)
         x = x + linear(cattn, block["cross"]["out"])
         x = _mlp_block(x, block)
         return x, {"k": ck, "v": cv}

@@ -1,0 +1,115 @@
+"""Pallas TPU attention kernels.
+
+The reference's attention runs inside torch/cuDNN (Whisper forward at
+vocalis/core/audio_pipeline.py:195-200). Here the encoder's self-attention
+— the single biggest HBM consumer in the whole pipeline (a materialized
+B·H·1500·1500 f32 score tensor is ~6 GB per direction at batch 32) — is
+a first-party Pallas kernel.
+
+Design for Whisper's shape regime (T ≤ 1536, D = 64): the ENTIRE K and V
+for one (batch, head) fit comfortably in VMEM (192 KB each), so instead
+of the classic multi-pass online-softmax flash attention we run a
+**one-pass kernel**: each grid step loads a Q block plus full K/V, forms
+the (BQ, T) scores in VMEM, softmaxes in f32, and writes only the (BQ, D)
+output — the score matrix never touches HBM. Grid = (B·H, T/BQ).
+Padding to a 128-lane multiple is masked with an iota comparison.
+
+For decode-time shapes (tq = 1) the einsum path is already
+bandwidth-optimal, so models/whisper.py routes only long-sequence
+non-causal self-attention here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _one_pass_kernel(q_ref, kt_ref, v_ref, o_ref, *, seq_len: int, scale: float):
+    q = q_ref[0]                       # (BQ, D)
+    kt = kt_ref[0]                     # (D, Tpad) — pre-transposed K
+    v = v_ref[0]                       # (Tpad, D)
+    # scale folds in log2(e): softmax via exp2, the cheaper transcendental
+    scores = jax.lax.dot_general(
+        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                          # (BQ, Tpad) f32, lives in VMEM only
+    if seq_len < v.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < seq_len, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp2(scores - m)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    w = (p * pl.reciprocal(s, approx=False)).astype(v.dtype)
+    o_ref[0] = jnp.dot(w, v, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def flash_attention(
+    q: jax.Array,      # (B, H, T, D)
+    k: jax.Array,      # (B, H, T, D)
+    v: jax.Array,
+    block_q: int = 768,
+    interpret: bool = False,
+) -> jax.Array:
+    """Non-causal full attention, softmax in f32. Returns (B, H, T, D)."""
+    import math
+
+    b, h, t, d = q.shape
+    scale = (d**-0.5) * math.log2(math.e)
+    tpad = -(-t // 128) * 128
+    if tpad != t:
+        pad = [(0, 0), (0, 0), (0, tpad - t), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    bq = min(block_q, tpad)
+    if tpad % bq:
+        bq = tpad
+    qf = q.reshape(b * h, tpad, d)
+    ktf = k.reshape(b * h, tpad, d).transpose(0, 2, 1)  # (BH, D, Tpad)
+    vf = v.reshape(b * h, tpad, d)
+
+    grid = (b * h, tpad // bq)
+    out = pl.pallas_call(
+        functools.partial(_one_pass_kernel, seq_len=t, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, tpad, d), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda bh, i: (bh, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, tpad), lambda bh, i: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tpad, d), lambda bh, i: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda bh, i: (bh, i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tpad * tpad * d,
+            bytes_accessed=(3 * b * h * tpad * d * 2 + b * h * tpad * d * 2),
+            transcendentals=b * h * tpad * tpad,
+        ),
+        interpret=interpret,
+    )(qf, ktf, vf)
+    out = out.reshape(b, h, tpad, d)
+    return out[:, :, :t] if tpad != t else out
+
+
+def attention_reference(q, k, v):
+    """Naive einsum oracle for kernel tests."""
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (d**-0.5)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
