@@ -134,12 +134,14 @@ def forward(
     key_pos = jnp.arange(cache_len)
     attn_mask = key_pos[None, :] <= positions[:, None]     # (t, cache_len)
 
+    from ..ops.quant import matmul_any
+
     def body(x, layer):
         block, cache = layer
         hnorm = rms_norm(x, block["attn_norm"], dims.norm_eps)
-        q = (hnorm @ block["q"]["w"].astype(dtype)).reshape(b, t, h, dh)
-        k = (hnorm @ block["k"]["w"].astype(dtype)).reshape(b, t, kvh, dh)
-        v = (hnorm @ block["v"]["w"].astype(dtype)).reshape(b, t, kvh, dh)
+        q = matmul_any(hnorm, block["q"]).reshape(b, t, h, dh)
+        k = matmul_any(hnorm, block["k"]).reshape(b, t, kvh, dh)
+        v = matmul_any(hnorm, block["v"]).reshape(b, t, kvh, dh)
         q = _rope(q, positions, dims.rope_theta)
         k = _rope(k, positions, dims.rope_theta)
 
@@ -164,20 +166,23 @@ def forward(
         w = jax.nn.softmax(logits, axis=-1).astype(dtype)
         attn = jnp.einsum("bkgts,bskd->btkgd", w, vv)
         attn = attn.reshape(b, t, h * dh)
-        x = x + attn @ block["out"]["w"].astype(dtype)
+        x = x + matmul_any(attn, block["out"])
 
         hnorm = rms_norm(x, block["mlp_norm"], dims.norm_eps)
-        gate = jax.nn.silu(hnorm @ block["gate"]["w"].astype(dtype))
-        up = hnorm @ block["up"]["w"].astype(dtype)
-        x = x + (gate * up) @ block["down"]["w"].astype(dtype)
+        gate = jax.nn.silu(matmul_any(hnorm, block["gate"]))
+        up = matmul_any(hnorm, block["up"])
+        x = x + matmul_any(gate * up, block["down"])
         return x, {"k": ck, "v": cv}
 
     x, new_cache = jax.lax.scan(body, x, (params["blocks"], kv_cache))
     x = rms_norm(x, params["norm"], dims.norm_eps)
-    logits = jnp.einsum(
-        "btd,dv->btv", x, params["lm_head"]["w"].astype(dtype),
-        preferred_element_type=jnp.float32,
-    )
+    if "w_q" in params["lm_head"]:
+        logits = matmul_any(x, params["lm_head"]).astype(jnp.float32)
+    else:
+        logits = jnp.einsum(
+            "btd,dv->btv", x, params["lm_head"]["w"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
     return logits, (new_cache if use_cache else None)
 
 
