@@ -25,7 +25,7 @@ from turbo_whisper_workspace_tpu.models import whisper as wm
 from turbo_whisper_workspace_tpu.ops import mel as mel_ops
 
 MODEL = "large-v3-turbo"
-BATCH = 32
+BATCH = 64
 DECODE_LEN = 128
 ITERS = 3
 
