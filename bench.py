@@ -14,9 +14,20 @@ for EOT-terminated decode.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: repeated bench runs skip the multi-minute
+# remote compilation of the fused decode program
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

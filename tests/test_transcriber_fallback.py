@@ -1,0 +1,86 @@
+"""Transcriber temperature-escalation fallback behavior (host logic)."""
+
+import numpy as np
+import pytest
+
+from turbo_whisper_workspace_tpu.config import TranscriptionConfig
+from turbo_whisper_workspace_tpu.decode.greedy import DecodeResult
+from turbo_whisper_workspace_tpu.pipeline import transcriber as tr
+
+
+class ScriptedTranscriber(tr.Transcriber):
+    """Overrides the device decode with scripted per-temperature results."""
+
+    def __init__(self, script, **kw):
+        super().__init__(**kw)
+        self.script = script          # temperature → (avg_lp, no_sp, text)
+        self.calls = []
+
+    def _decode_batch(self, audio_batch, languages, temperature=0.0,
+                      beam_size=None):
+        self.calls.append(float(temperature))
+        n = len(audio_batch)
+        avg_lp, no_sp, text = self.script[round(float(temperature), 1)]
+        toks = self.tokenizer.encode(text)
+        sp = self.tokenizer.specials
+        prompt_len = 3
+        tokens = np.full((n, prompt_len + len(toks) + 4), sp.eot, np.int64)
+        tokens[:, prompt_len : prompt_len + len(toks)] = toks
+        return DecodeResult(
+            tokens=tokens,
+            lengths=np.full(n, len(toks)),
+            sum_logprobs=np.full(n, avg_lp * 10),
+            avg_logprobs=np.full(n, avg_lp),
+            no_speech_probs=np.full(n, no_sp),
+        ), prompt_len
+
+
+def _mk(script):
+    import jax
+
+    from turbo_whisper_workspace_tpu.decode.tokenizer import WhisperTokenizer
+    from turbo_whisper_workspace_tpu.models import whisper as wm
+
+    dims = wm.WhisperDims(80, 1500, 64, 2, 2, 51865, 448, 64, 2, 2)
+    return ScriptedTranscriber(
+        script,
+        params=None, dims=dims,
+        tokenizer=WhisperTokenizer.for_model(dims.n_vocab),
+        config=TranscriptionConfig(batch_size=2, max_decode_len=16,
+                                   language="en", return_timestamps=False),
+    )
+
+
+def test_good_first_pass_no_retry():
+    t = _mk({0.0: (-0.3, 0.1, "all good here")})
+    res = t.transcribe([np.zeros(16000, np.float32)])
+    assert res[0]["text"].strip() == "all good here"
+    assert t.calls == [0.0]
+
+
+def test_low_logprob_escalates_temperature():
+    t = _mk({
+        0.0: (-2.5, 0.1, "garbage"),
+        0.2: (-2.5, 0.1, "garbage"),
+        0.4: (-0.4, 0.1, "recovered text"),
+    })
+    res = t.transcribe([np.zeros(16000, np.float32)])
+    assert t.calls == [0.0, 0.2, 0.4]
+    assert res[0]["text"].strip() == "recovered text"
+
+
+def test_silent_window_yields_empty(monkeypatch):
+    t = _mk({0.0: (-2.0, 0.9, "hallucinated words")})
+    res = t.transcribe([np.zeros(16000, np.float32)])
+    assert t.calls == [0.0]          # silence: no retries
+    assert res[0]["text"] == ""
+
+
+def test_repetitive_output_triggers_retry():
+    t = _mk({
+        0.0: (-0.2, 0.1, "la " * 200),   # compression ratio >> 2.4
+        0.2: (-0.2, 0.1, "normal sentence"),
+    })
+    res = t.transcribe([np.zeros(16000, np.float32)])
+    assert t.calls == [0.0, 0.2]
+    assert res[0]["text"].strip() == "normal sentence"

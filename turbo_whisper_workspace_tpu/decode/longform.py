@@ -98,10 +98,13 @@ def merge_chunk_segments(
         for s in segs:
             start = plan.start_s + s["start"]
             end = plan.start_s + (s["end"] if s["end"] is not None else 30.0)
+            if duration_s is not None:
+                # clamp before the ownership test: zero-padded tails of a
+                # short final window must not push segments out of core
+                end = min(end, duration_s)
+                start = min(start, end)
             mid = 0.5 * (start + end)
             if plan.core_start_s <= mid < plan.core_end_s:
-                if duration_s is not None:
-                    end = min(end, duration_s)
                 merged.append({**s, "start": start, "end": end})
     merged.sort(key=lambda s: (s["start"], s["end"]))
     return merged
