@@ -36,7 +36,7 @@ from turbo_whisper_workspace_tpu.models import whisper as wm
 from turbo_whisper_workspace_tpu.ops import mel as mel_ops
 
 MODEL = "large-v3-turbo"
-BATCH = 64
+BATCH = 32
 DECODE_LEN = 128
 ITERS = 3
 
