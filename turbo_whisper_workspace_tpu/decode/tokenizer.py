@@ -85,7 +85,7 @@ def special_tokens_for_vocab(n_vocab: int) -> SpecialTokens:
     the same ordering so decode rules stay exercised.
     """
     if n_vocab >= 51865:  # multilingual
-        n_lang = n_vocab - 51765  # 100 for 51866, 99 for 51865
+        n_lang = n_vocab - 51766  # 99 for 51865 (v1/v2), 100 for 51866 (v3)
         eot = 50257
         multilingual = True
     elif n_vocab == 51864:  # English-only
