@@ -111,3 +111,14 @@ def test_param_count_scaling():
     params = whisper.init_params(dims, jax.random.PRNGKey(0))
     n = whisper.param_count(params)
     assert 35e6 < n < 45e6  # whisper tiny ≈ 39M params
+
+
+def test_orbax_checkpoint_roundtrip(torch_and_jax, tmp_path):
+    import jax
+
+    _, params, dims = torch_and_jax
+    path = str(tmp_path / "ckpt")
+    convert.save_checkpoint(path, params)
+    loaded = convert.load_checkpoint(path, like=params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

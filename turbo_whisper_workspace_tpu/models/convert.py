@@ -212,3 +212,21 @@ def load_params(path: str, dtype=None):
             arr = arr.astype(dtype)
         node[parts[-1]] = arr
     return tree
+
+
+def save_checkpoint(path: str, params) -> None:
+    """Orbax checkpoint save (sharding-aware; preferred for large trees —
+    the reference has no computation checkpointing at all, SURVEY.md §5.4)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_checkpoint(path: str, like=None):
+    """Orbax checkpoint load; `like` provides the target tree structure
+    (with shardings) when restoring onto a mesh."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), like)
