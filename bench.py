@@ -56,17 +56,11 @@ def main():
         (BATCH, 1),
     )
 
-    # two jits (encode / decode) rather than one fused program: the
-    # remote compiler handles two medium programs far better than one
-    # giant one, and the extra dispatch is ~2 ms per batch
     @jax.jit
-    def encode(params, audio):
+    def step(params, audio, prompt):
         mels = mel_ops.log_mel_spectrogram(audio, num_mels=dims.n_mels)
         feats = wm.encoder_forward(params, dims, mels)
-        return wm.precompute_cross_kv(params, dims, feats)
-
-    def step(params, audio, prompt):
-        ckv = encode(params, audio)
+        ckv = wm.precompute_cross_kv(params, dims, feats)
         res = greedy.greedy_decode_features(
             params, dims, ckv, prompt, rules=drules, max_len=DECODE_LEN
         )
