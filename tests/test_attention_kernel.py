@@ -28,3 +28,56 @@ def test_flash_bf16(rng):
         att.flash_attention(q, q, q, block_q=128, interpret=True), np.float32
     )
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_cross_attention_int8_matches_reference(rng):
+    import jax.numpy as jnp
+
+    from turbo_whisper_workspace_tpu.ops.attention import (
+        cross_attention_int8, quantize_cross_kv_int8,
+    )
+
+    l, b, h, t, dh = 2, 2, 4, 300, 64
+    k = rng.standard_normal((l, b, h, t, dh)).astype(np.float32)
+    v = rng.standard_normal((l, b, h, t, dh)).astype(np.float32)
+    q = rng.standard_normal((b, h, 3, dh)).astype(np.float32)
+
+    qkv = quantize_cross_kv_int8(jnp.asarray(k), jnp.asarray(v))
+    out = np.asarray(cross_attention_int8(
+        jnp.asarray(q), qkv["k_q"][0], qkv["v_q"][0],
+        qkv["k_scale"][0], qkv["v_scale"][0], seq_len=t, interpret=True,
+    ))
+    ref = np.asarray(att.attention_reference(q, k[0], v[0]))
+    np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_quantized_decode_matches_dense(rng):
+    """Full tiny-model decode with int8 cross-KV ≈ dense decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from turbo_whisper_workspace_tpu.decode import greedy, rules, tokenizer
+    from turbo_whisper_workspace_tpu.models import whisper as wm
+
+    dims = wm.WhisperDims(80, 1500, 64, 2, 2, 517, 448, 64, 2, 2)
+    params = wm.init_params(dims, jax.random.PRNGKey(0))
+    sp = tokenizer.special_tokens_for_vocab(dims.n_vocab)
+    drules = rules.DecodeRules(specials=sp, timestamps=True)
+    mel = rng.standard_normal((2, 80, 3000)).astype(np.float32)
+    prompt = np.tile(np.array([[sp.sot, sp.transcribe]], np.int32), (2, 1))
+
+    feats = wm.encoder_forward(params, dims, mel)
+    dense = greedy.greedy_decode_features(
+        params, dims, wm.precompute_cross_kv(params, dims, feats),
+        jnp.asarray(prompt), rules=drules, max_len=10,
+    )
+    quant = greedy.greedy_decode_features(
+        params, dims, wm.precompute_cross_kv(params, dims, feats,
+                                             quantize=True),
+        jnp.asarray(prompt), rules=drules, max_len=10,
+    )
+    # random-weight logits are diffuse; require mostly-identical tokens
+    agree = (np.asarray(dense.tokens) == np.asarray(quant.tokens)).mean()
+    assert agree > 0.7, f"token agreement {agree}"

@@ -301,13 +301,20 @@ def encoder_forward(params: Params, dims: WhisperDims, mel: jax.Array) -> jax.Ar
 # Cross-attention KV precompute + decoder
 
 
-def precompute_cross_kv(params: Params, dims: WhisperDims, audio_features: jax.Array):
+def precompute_cross_kv(
+    params: Params, dims: WhisperDims, audio_features: jax.Array,
+    quantize: bool = False,
+):
     """K/V of every decoder layer's cross-attention over the encoder output.
 
     Returns a pytree {"k","v"} of (L, B, H, 1500, Dh) — computed once per
     window, already in head-major layout so the per-step cross-attention
     reads it with NO transposes (a (B,T,D)→(B,H,T,Dh) transpose of ~1 GB
     per decode step was the single largest decode cost).
+
+    quantize=True stores int8 K/V with per-(layer,batch,head) scales —
+    half the HBM traffic of the dominant decode-step read — consumed by
+    the Pallas kernel in ops/attention.cross_attention_int8.
     """
     blocks = params["decoder"]["blocks"]
     h = dims.n_text_head
@@ -321,6 +328,10 @@ def precompute_cross_kv(params: Params, dims: WhisperDims, audio_features: jax.A
         return None, {"k": k, "v": v}
 
     _, kv = jax.lax.scan(body, None, blocks)
+    if quantize:
+        from ..ops.attention import quantize_cross_kv_int8
+
+        return quantize_cross_kv_int8(kv["k"], kv["v"])
     return kv
 
 
@@ -389,13 +400,23 @@ def decoder_forward(
         cq = linear(h, block["cross"]["q"])
         bq, tq, dd = cq.shape
         qh = cq.reshape(bq, tq, n_head, dd // n_head).transpose(0, 2, 1, 3)
-        ck_h = ckv["k"].astype(cq.dtype)          # (B, H, Tk, Dh)
-        cv_h = ckv["v"].astype(cq.dtype)
-        clogits = jnp.einsum(
-            "bhqd,bhkd->bhqk", qh, ck_h, preferred_element_type=jnp.float32
-        ) * ((dd // n_head) ** -0.5)
-        cw = jax.nn.softmax(clogits, axis=-1).astype(cq.dtype)
-        cattn = jnp.einsum("bhqk,bhkd->bhqd", cw, cv_h)
+        if "k_q" in ckv:  # int8 K/V via the Pallas kernel
+            from ..ops.attention import cross_attention_int8
+
+            cattn = cross_attention_int8(
+                qh, ckv["k_q"], ckv["v_q"], ckv["k_scale"], ckv["v_scale"],
+                seq_len=dims.n_audio_ctx,
+                interpret=not _use_flash(),
+            )
+        else:
+            ck_h = ckv["k"].astype(cq.dtype)      # (B, H, Tk, Dh)
+            cv_h = ckv["v"].astype(cq.dtype)
+            clogits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, ck_h,
+                preferred_element_type=jnp.float32,
+            ) * ((dd // n_head) ** -0.5)
+            cw = jax.nn.softmax(clogits, axis=-1).astype(cq.dtype)
+            cattn = jnp.einsum("bhqk,bhkd->bhqd", cw, cv_h)
         cattn = cattn.transpose(0, 2, 1, 3).reshape(bq, tq, dd)
         x = x + linear(cattn, block["cross"]["out"])
         x = _mlp_block(x, block)

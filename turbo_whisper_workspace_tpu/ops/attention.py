@@ -105,6 +105,112 @@ def flash_attention(
     return out[:, :, :t] if tpad != t else out
 
 
+def _cross_int8_kernel(q_ref, kq_ref, vq_ref, ks_ref, vs_ref, o_ref,
+                       *, seq_len: int, scale: float):
+    """Decode-time cross-attention over int8 K/V for ONE batch element.
+
+    Blocks: q (H, 1, Dh) bf16; kq/vq (H, Dh, Tpad) int8 (transposed so
+    the int8 lane dim is T, a 128-multiple); ks/vs (H, 1) f32 per-head
+    scales. Scales are scalars per head, so they commute out of the
+    matmuls: K's into q, V's onto the output — the int8 payload is only
+    ever cast, never multiplied elementwise.
+    """
+    q = q_ref[0].astype(jnp.float32)               # (H, 1, Dh)
+    kq = kq_ref[0].astype(jnp.bfloat16)            # (H, Dh, Tpad)
+    vq = vq_ref[0].astype(jnp.bfloat16)
+    ks = ks_ref[0]                                 # (H, 1)
+    vs = vs_ref[0]
+    qs = (q * (ks[:, :, None] * scale)).astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        qs, kq, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # (H, 1, Tpad)
+    if seq_len < kq.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        scores = jnp.where(col < seq_len, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp2(scores - m)
+    w = (p * pl.reciprocal(jnp.sum(p, -1, keepdims=True), approx=False))
+    out = jax.lax.dot_general(
+        w.astype(jnp.bfloat16), vq, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # (H, 1, Dh)
+    o_ref[0] = (out * vs[:, :, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "interpret"))
+def cross_attention_int8(
+    q: jax.Array,        # (B, H, 1, Dh) activation dtype
+    kq: jax.Array,       # (B, H, Dh, Tpad) int8
+    vq: jax.Array,       # (B, H, Dh, Tpad) int8
+    k_scale: jax.Array,  # (B, H) f32
+    v_scale: jax.Array,  # (B, H) f32
+    seq_len: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-step cross-attention reading quantized K/V (half the HBM
+    traffic of bf16 — the dominant decode-step cost). Returns (B, H, 1, Dh)."""
+    import math
+
+    b, h, one, dh = q.shape
+    tpad = kq.shape[-1]
+    seq_len = seq_len if seq_len is not None else tpad
+    scale = (dh**-0.5) * math.log2(math.e)
+    out = pl.pallas_call(
+        functools.partial(_cross_int8_kernel, seq_len=seq_len, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, one, dh), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, one, dh), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, dh, tpad), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, dh, tpad), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, h, one, dh), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tpad * dh,
+            bytes_accessed=2 * b * h * dh * tpad + 2 * b * h * dh * 2,
+            transcendentals=b * h * tpad,
+        ),
+        interpret=interpret,
+    )(q, kq, vq, k_scale[..., None], v_scale[..., None])
+    return out
+
+
+def quantize_cross_kv_int8(k: jax.Array, v: jax.Array):
+    """(L, B, H, T, Dh) bf16 K/V → transposed int8 + per-(L,B,H) scales,
+    T padded to a 128 multiple for int8 lane tiling."""
+    l, b, h, t, dh = k.shape
+    tpad = -(-t // 128) * 128
+
+    def quant(x):
+        s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(-2, -1)) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s[..., None, None]), -127, 127
+        ).astype(jnp.int8)
+        xq = xq.transpose(0, 1, 2, 4, 3)           # (L,B,H,Dh,T)
+        if tpad != t:
+            xq = jnp.pad(xq, ((0, 0),) * 4 + ((0, tpad - t),))
+        return xq, s.astype(jnp.float32)
+
+    kq, ks = quant(k)
+    vq, vs = quant(v)
+    # seq_len is NOT stored: it equals dims.n_audio_ctx (static) at every
+    # call site, and pytree leaves must all be arrays (beam tiling maps
+    # jnp.repeat over them)
+    return {"k_q": kq, "v_q": vq, "k_scale": ks, "v_scale": vs}
+
+
 def attention_reference(q, k, v):
     """Naive einsum oracle for kernel tests."""
     d = q.shape[-1]
