@@ -46,12 +46,15 @@ def compression_ratio(text: str) -> float:
     return len(data) / len(zlib.compress(data))
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "num_mels"))
-def _encode_batch(params, dims: wm.WhisperDims, audio: jax.Array, num_mels: int):
+@functools.partial(
+    jax.jit, static_argnames=("dims", "num_mels", "quantize_kv")
+)
+def _encode_batch(params, dims: wm.WhisperDims, audio: jax.Array,
+                  num_mels: int, quantize_kv: bool = False):
     """waveform batch (B, 480000) → decoder cross-KV (+ mel time)."""
     mels = mel_ops.log_mel_spectrogram(audio, num_mels=num_mels)
     feats = wm.encoder_forward(params, dims, mels)
-    return wm.precompute_cross_kv(params, dims, feats)
+    return wm.precompute_cross_kv(params, dims, feats, quantize=quantize_kv)
 
 
 @dataclass
@@ -88,7 +91,8 @@ class Transcriber:
             [self._prompt_row(l) for l in languages], np.int32
         )
         cross_kv = _encode_batch(
-            self.params, self.dims, jnp.asarray(audio_batch), self.dims.n_mels
+            self.params, self.dims, jnp.asarray(audio_batch),
+            self.dims.n_mels, quantize_kv=self.config.quantize_cross_kv,
         )
         if beam_size > 1 and temperature == 0.0:
             res = beam_mod.beam_decode_features(
