@@ -125,13 +125,18 @@ def greedy_decode_features(
             begin_mask=begin_mask,
         )
         logp = jax.nn.log_softmax(masked, axis=-1)
+
         # gumbel-max: argmax(logits + T·G) samples softmax(logits/T) and
-        # degenerates to exact argmax at T=0 — one branch-free formula
-        gumbel = jax.random.gumbel(
-            jax.random.fold_in(key, c.step), masked.shape, jnp.float32
-        )
-        next_tok = jnp.argmax(
-            masked + temperature * gumbel, axis=-1
+        # degenerates to exact argmax at T=0; the T=0 branch (the
+        # shipping greedy path) skips the full-vocab RNG draw entirely
+        def _sample(m):
+            gumbel = jax.random.gumbel(
+                jax.random.fold_in(key, c.step), m.shape, jnp.float32
+            )
+            return jnp.argmax(m + temperature * gumbel, axis=-1)
+
+        next_tok = jax.lax.cond(
+            temperature > 0.0, _sample, lambda m: jnp.argmax(m, axis=-1), masked
         ).astype(jnp.int32)
         tok_logp = jnp.take_along_axis(logp, next_tok[:, None], axis=-1)[:, 0]
 

@@ -378,15 +378,26 @@ def decoder_forward(
     q_pos = pos + jnp.arange(t)
     attn_mask = key_pos[None, :] <= q_pos[:, None]  # (t, cache_len)
 
-    def body(x, layer):
-        block, ckv, cache = layer
+    # The full stacked (L, B, T, D) cache rides the scan CARRY and is
+    # updated in place with per-layer dynamic_update_slice — carrying it
+    # as scan ys would rewrite the entire cache (~170 MB/step at batch
+    # 32) every decode step instead of the one-token slice.
+    def body(carry, layer):
+        x, cache_k, cache_v = carry
+        block, ckv, li = layer
         # self-attention with cache
         h = layer_norm(x, block["attn_ln"])
         q = linear(h, block["attn"]["q"])
         k = linear(h, block["attn"]["k"])
         v = linear(h, block["attn"]["v"])
-        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, pos, 0))
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k[None].astype(cache_k.dtype), (li, 0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v[None].astype(cache_v.dtype), (li, 0, pos, 0))
+        ck = jax.lax.dynamic_slice(
+            cache_k, (li, 0, 0, 0), (1, b, cache_len, dims.n_text_state))[0]
+        cv = jax.lax.dynamic_slice(
+            cache_v, (li, 0, 0, 0), (1, b, cache_len, dims.n_text_state))[0]
         attn = mha(
             q,
             ck.astype(q.dtype),
@@ -420,9 +431,14 @@ def decoder_forward(
         cattn = cattn.transpose(0, 2, 1, 3).reshape(bq, tq, dd)
         x = x + linear(cattn, block["cross"]["out"])
         x = _mlp_block(x, block)
-        return x, {"k": ck, "v": cv}
+        return (x, cache_k, cache_v), None
 
-    x, new_cache = jax.lax.scan(body, x, (dec["blocks"], cross_kv, kv_cache))
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body,
+        (x, kv_cache["k"], kv_cache["v"]),
+        (dec["blocks"], cross_kv, jnp.arange(dims.n_text_layer)),
+    )
+    new_cache = {"k": new_k, "v": new_v}
     x = layer_norm(x, dec["ln"])
     logits = jnp.einsum(
         "btd,vd->btv", x, dec["token_emb"].astype(x.dtype),

@@ -7,13 +7,16 @@ mel filters, log10 with 1e-10 clamp, per-clip dynamic-range floor at
 max-8 dB, and (x+4)/4 scaling).
 
 TPU-first design: there is no FFT unit on a TPU — the MXU is a 128x128
-systolic matmul array — so the STFT is expressed as a single strided
-convolution with a Hann-windowed DFT basis (400-tap kernels, 402 output
-channels = 201 real + 201 imaginary bins), which XLA lowers straight onto
-the MXU. The mel projection is a second matmul, and the pointwise log /
-clamp / normalize fuses into it. Total work for 30 s of audio is ~1 GFLOP,
-so a whole batch of clips runs in well under a millisecond per chip; the
-op is HBM-bandwidth-bound on reading the waveform, which is the floor.
+systolic matmul array — so the STFT is expressed as dense matmuls with a
+Hann-windowed DFT basis (402 output channels = 201 real + 201 imaginary
+bins). Because the hop (160) does not divide the window (400), the basis
+is split into three hop-aligned pieces and the STFT computed as
+Σ_i chunks[t+i] @ K_i — three (hop=160)-deep MXU matmuls over a
+(B, frames, hop) reshape of the waveform. (The obvious alternative — a
+1-input-channel 400-tap strided conv — lowers so badly in XLA that it
+measured 15.75 ms at batch 32; the matmul form is ~1 ms.) The mel
+projection is one more matmul, and the pointwise log / clamp / normalize
+fuses into it.
 
 Numerical parity with the reference extractor (transformers
 WhisperFeatureExtractor, itself matching openai/whisper) is enforced by
@@ -123,35 +126,75 @@ def _windowed_dft_kernel(n_fft: int = N_FFT) -> np.ndarray:
     return kernel.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=2)
+def _chunked_dft_bases(n_fft: int = N_FFT, hop: int = HOP_LENGTH):
+    """The windowed DFT basis split into hop-aligned chunks.
+
+    A frame starting at t*hop covers chunks t, t+1, …, so the STFT
+    matmul decomposes as  Y[t] = Σ_i  chunk[t+i] @ K_i  with
+    K_i = basis[:, i*hop:(i+1)*hop]ᵀ zero-padded to (hop, 2*n_freqs).
+    Each K_i has contraction depth `hop` — a dense MXU matmul, unlike
+    the 1-channel 400-tap strided conv XLA lowers this to otherwise
+    (measured 15.75 ms vs <1 ms for the matmul form at batch 32).
+    """
+    kernel = _windowed_dft_kernel(n_fft)[:, 0, :]        # (402, n_fft)
+    n_chunks = -(-n_fft // hop)
+    bases = []
+    for i in range(n_chunks):
+        piece = kernel[:, i * hop : (i + 1) * hop]       # (402, <=hop)
+        if piece.shape[1] < hop:
+            piece = np.pad(piece, ((0, 0), (0, hop - piece.shape[1])))
+        bases.append(piece.T.copy())                     # (hop, 402)
+    return tuple(bases)
+
+
+def _stft_power_tf(
+    audio: jax.Array,
+    n_fft: int = N_FFT,
+    hop_length: int = HOP_LENGTH,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Power spectrogram in (B, frames, n_freqs) layout.
+
+    The STFT is Σ_i chunk[t+i] @ K_i over hop-aligned waveform chunks
+    (see _chunked_dft_bases) — three dense MXU matmuls instead of a
+    1-channel 400-tap strided conv. Final frame dropped, matching the
+    reference extractor's ``magnitudes[..., :-1]``.
+    """
+    if audio.ndim == 1:
+        audio = audio[None]
+    pad = n_fft // 2
+    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    b, p = x.shape
+    n_frames = (p - n_fft) // hop_length + 1
+    bases = _chunked_dft_bases(n_fft, hop_length)
+    # tail zero-pad: the last < hop excess samples only ever meet the
+    # zero rows of the final basis piece
+    total = (n_frames - 1 + len(bases)) * hop_length
+    if total > p:
+        x = jnp.pad(x, ((0, 0), (0, total - p)))
+    c = x.reshape(b, -1, hop_length)
+    acc = None
+    for i, basis in enumerate(bases):
+        ci = c[:, i : i + n_frames]
+        y = jnp.einsum(
+            "bth,hf->btf", ci, jnp.asarray(basis), precision=precision
+        )
+        acc = y if acc is None else acc + y
+    acc = acc[:, :-1]  # drop the final (n+1)th frame
+    n_freqs = n_fft // 2 + 1
+    real, imag = acc[..., :n_freqs], acc[..., n_freqs:]
+    return real * real + imag * imag
+
+
 def stft_power(
     audio: jax.Array,
     n_fft: int = N_FFT,
     hop_length: int = HOP_LENGTH,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
-    """Power spectrogram |STFT|^2 via a strided MXU convolution.
-
-    audio: (B, T) float32. Returns (B, n_freqs, T // hop) — the final
-    frame is dropped, matching the reference extractor's
-    ``magnitudes[..., :-1]`` behavior.
-    """
-    if audio.ndim == 1:
-        audio = audio[None]
-    pad = n_fft // 2
-    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    kernel = jnp.asarray(_windowed_dft_kernel(n_fft))
-    out = jax.lax.conv_general_dilated(
-        x[:, None, :],
-        kernel,
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=precision,
-    )
-    out = out[..., :-1]  # drop the final (n+1)th frame
-    n_freqs = n_fft // 2 + 1
-    real, imag = out[:, :n_freqs, :], out[:, n_freqs:, :]
-    return real * real + imag * imag
+    """Power spectrogram |STFT|^2, (B, n_freqs, frames) layout."""
+    return _stft_power_tf(audio, n_fft, hop_length, precision).transpose(0, 2, 1)
 
 
 def log_mel_spectrogram(
@@ -167,9 +210,9 @@ def log_mel_spectrogram(
     squeeze = audio.ndim == 1
     if squeeze:
         audio = audio[None]
-    power = stft_power(audio, precision=precision)
+    power = _stft_power_tf(audio, precision=precision)
     mel_w = jnp.asarray(mel_filter_bank(num_mels))
-    mel = jnp.einsum("mf,bft->bmt", mel_w, power, precision=precision)
+    mel = jnp.einsum("mf,btf->bmt", mel_w, power, precision=precision)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     floor = jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0
     log_spec = jnp.maximum(log_spec, floor)
