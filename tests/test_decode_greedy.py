@@ -122,3 +122,47 @@ def test_finished_sequences_stay_eot(setup, rng):
     length = int(res.lengths[0])
     if length < 30:
         assert (toks[length:] == sp.eot).all()
+
+
+def test_sot_prev_prompt_conditioning(setup, rng):
+    """initial_prompt prefix: <|startofprev|> + text tokens ride the
+    prompt untouched by suppression (rules govern SAMPLED positions
+    only), no_speech is read at the true SOT index, and the sampled
+    region still obeys the grammar."""
+    _, params, dims, sp = setup
+    drules = rules_mod.DecodeRules(specials=sp, timestamps=False)
+    mel = rng.standard_normal((2, dims.n_mels, 3000)).astype(np.float32)
+    # prefix tokens deliberately include ids the static mask suppresses
+    # (sot_prev itself and a language token) — legal in the prompt
+    prefix = [sp.sot_prev, sp.sot + 1, 5, 6, 7]
+    sot_seq = [sp.sot, sp.transcribe]
+    prompt = np.array([prefix + sot_seq] * 2, np.int32)
+    res = greedy.greedy_decode(
+        params, dims, mel, prompt, rules=drules, max_len=12,
+        sot_index=len(prefix),
+    )
+    p_len = prompt.shape[1]
+    toks = np.asarray(res.tokens)
+    # prompt (incl. suppressed ids) preserved verbatim
+    np.testing.assert_array_equal(toks[:, :p_len], prompt)
+    # sampled region never contains statically suppressed ids
+    suppressed = set(int(i) for i in drules._static_suppress_ids())
+    for b in range(2):
+        sampled = toks[b, p_len : p_len + int(res.lengths[b])]
+        assert not (set(int(t) for t in sampled) & suppressed)
+    # no_speech prob read at the SOT position is a valid probability
+    assert np.all((res.no_speech_probs >= 0) & (res.no_speech_probs <= 1))
+
+
+def test_sot_prev_prompt_changes_distribution(setup, rng):
+    """The decoder actually CONDITIONS on the prefix: different prefix
+    tokens change the next-token logits at the sampling position (the
+    prompt is attended to, not ignored)."""
+    _, params, dims, sp = setup
+    mel = rng.standard_normal((2, dims.n_mels, 3000)).astype(np.float32)
+    sot_seq = [sp.sot, sp.transcribe]
+    p1 = np.asarray([[sp.sot_prev, 11, 12, 13] + sot_seq] * 2, np.int32)
+    p2 = np.asarray([[sp.sot_prev, 201, 202, 203] + sot_seq] * 2, np.int32)
+    l1 = np.asarray(whisper.forward(params, dims, mel, p1))[:, -1]
+    l2 = np.asarray(whisper.forward(params, dims, mel, p2))[:, -1]
+    assert np.abs(l1 - l2).max() > 1e-3

@@ -17,8 +17,9 @@ class ScriptedTranscriber(tr.Transcriber):
         self.calls = []
 
     def _decode_batch(self, audio_batch, languages, temperature=0.0,
-                      beam_size=None):
+                      beam_size=None, prefix=None):
         self.calls.append(float(temperature))
+        self.prefixes = getattr(self, "prefixes", []) + [prefix]
         n = len(audio_batch)
         avg_lp, no_sp, text = self.script[round(float(temperature), 1)]
         toks = self.tokenizer.encode(text)
@@ -84,3 +85,32 @@ def test_repetitive_output_triggers_retry():
     res = t.transcribe([np.zeros(16000, np.float32)])
     assert t.calls == [0.0, 0.2]
     assert res[0]["text"].strip() == "normal sentence"
+
+
+def test_initial_prompt_threaded_to_decode():
+    """initial_prompt → <|startofprev|> prefix reaches every decode
+    attempt, including temperature-escalation retries (reference ladder
+    re-passes initial_prompt per attempt, dynamic_bar_audio.py:513-525)."""
+    t = _mk({
+        0.0: (-2.5, 0.1, "garbage"),
+        0.2: (-0.3, 0.1, "fine"),
+    })
+    res = t.transcribe([np.zeros(16000, np.float32)],
+                       initial_prompt="Names: Alexandra, Veronica.")
+    sp = t.tokenizer.specials
+    assert len(t.prefixes) == 2                   # initial + one retry
+    for pref in t.prefixes:
+        assert pref[0] == sp.sot_prev
+        assert len(pref) > 1                      # encoded text present
+        assert len(pref) <= t.dims.n_text_ctx // 2
+    assert res[0]["text"].strip() == "fine"
+
+
+def test_initial_prompt_prefix_capped():
+    t = _mk({0.0: (-0.3, 0.1, "ok")})
+    pref = t._prompt_prefix("word " * 2000)
+    cap = min(t.dims.n_text_ctx // 2 - 1,
+              t.dims.n_text_ctx - t.config.max_decode_len - 8)
+    assert len(pref) == 1 + cap
+    assert t._prompt_prefix(None) == []
+    assert t._prompt_prefix("") == []

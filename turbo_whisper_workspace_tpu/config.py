@@ -35,6 +35,10 @@ class TranscriptionConfig:
     return_timestamps: bool = True
     temperature: float = 0.0
     max_decode_len: int = 224         # max new tokens per 30 s window
+    # Text conditioning: encoded as <|startofprev|> tokens before the SOT
+    # sequence, mirroring the reference's retry ladder which passes
+    # initial_prompt to the HF pipeline (dynamic_bar_audio.py:513-525).
+    initial_prompt: str | None = None
     dtype: str = "bfloat16"
     # int8 cross-attention K/V: halves the dominant decode-step HBM read
     # (-33% decode time measured); per-head symmetric quantization with

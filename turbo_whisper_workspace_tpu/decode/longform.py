@@ -74,11 +74,13 @@ def plan_chunks(
     ]
 
 
-def slice_chunk(audio: np.ndarray, plan: ChunkPlan) -> np.ndarray:
-    """Extract + zero-pad one window to exactly N_SAMPLES."""
-    seg = audio[plan.start : plan.start + N_SAMPLES]
-    if seg.shape[0] < N_SAMPLES:
-        seg = np.pad(seg, (0, N_SAMPLES - seg.shape[0]))
+def slice_chunk(
+    audio: np.ndarray, plan: ChunkPlan, n_samples: int = N_SAMPLES
+) -> np.ndarray:
+    """Extract + zero-pad one window to exactly n_samples (default 30 s)."""
+    seg = audio[plan.start : plan.start + n_samples]
+    if seg.shape[0] < n_samples:
+        seg = np.pad(seg, (0, n_samples - seg.shape[0]))
     return seg.astype(np.float32)
 
 

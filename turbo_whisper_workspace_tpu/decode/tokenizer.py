@@ -121,6 +121,16 @@ def special_tokens_for_vocab(n_vocab: int) -> SpecialTokens:
 
 
 @functools.lru_cache()
+def _split_pattern():
+    """GPT-2 pre-tokenization regex, compiled once (not per encode call)."""
+    import regex
+
+    return regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    )
+
+
+@functools.lru_cache()
 def _byte_encoder() -> dict[int, str]:
     """GPT-2 byte→unicode table (reversible, whitespace-safe)."""
     bs = (
@@ -163,6 +173,28 @@ class BPETokenizer:
                 merges.append((a, b))
         return cls(vocab, merges)
 
+    @classmethod
+    def from_tokenizer_json(cls, path: str) -> "BPETokenizer":
+        """Load the HF fast-tokenizer format (the file HF actually ships
+        for openai/whisper-* checkpoints; vocab.json+merges.txt often
+        aren't present). Handles both merge encodings tokenizers has
+        used: "a b" strings and ["a", "b"] pairs."""
+        with open(path, encoding="utf-8") as f:
+            blob = json.load(f)
+        model = blob["model"]
+        vocab = dict(model["vocab"])
+        # added_tokens carry the specials (<|endoftext|>, timestamps, …)
+        for tok in blob.get("added_tokens", ()):
+            vocab.setdefault(tok["content"], tok["id"])
+        merges = []
+        for m in model.get("merges", ()):
+            if isinstance(m, str):
+                a, b = m.split(" ", 1)
+            else:
+                a, b = m
+            merges.append((a, b))
+        return cls(vocab, merges)
+
     def _bpe(self, token: str) -> list[str]:
         if token in self._cache:
             return self._cache[token]
@@ -186,13 +218,8 @@ class BPETokenizer:
         return word
 
     def encode(self, text: str) -> list[int]:
-        import regex
-
-        pat = regex.compile(
-            r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
-        )
         ids: list[int] = []
-        for piece in pat.findall(text):
+        for piece in _split_pattern().findall(text):
             piece = "".join(self.byte_encoder[b] for b in piece.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(piece))
         return ids
@@ -200,6 +227,62 @@ class BPETokenizer:
     def decode(self, ids) -> str:
         text = "".join(self.decoder.get(int(i), "") for i in ids)
         raw = bytearray(self.byte_decoder.get(c, ord(" ")) for c in text)
+        return raw.decode("utf-8", errors="replace")
+
+
+class TiktokenTokenizer:
+    """openai/whisper's shipped vocabulary format (gpt2.tiktoken /
+    multilingual.tiktoken): one `base64(token_bytes) rank` pair per line.
+    Tokens are raw byte strings — no GPT-2 byte→unicode indirection."""
+
+    def __init__(self, ranks: dict[bytes, int]):
+        self.ranks = ranks
+        self.decoder = {v: k for k, v in ranks.items()}
+        self._cache: dict[bytes, list[int]] = {}
+
+    @classmethod
+    def from_file(cls, path: str) -> "TiktokenTokenizer":
+        import base64
+
+        ranks: dict[bytes, int] = {}
+        with open(path, "rb") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                tok, rank = line.split()
+                ranks[base64.b64decode(tok)] = int(rank)
+        return cls(ranks)
+
+    def _bpe(self, piece: bytes) -> list[int]:
+        if piece in self._cache:
+            return self._cache[piece]
+        if piece in self.ranks:
+            out = [self.ranks[piece]]
+            self._cache[piece] = out
+            return out
+        parts = [piece[i : i + 1] for i in range(len(piece))]
+        while len(parts) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(parts) - 1):
+                r = self.ranks.get(parts[i] + parts[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        out = [self.ranks[p] for p in parts if p in self.ranks]
+        self._cache[piece] = out
+        return out
+
+    def encode(self, text: str) -> list[int]:
+        ids: list[int] = []
+        for piece in _split_pattern().findall(text):
+            ids.extend(self._bpe(piece.encode("utf-8")))
+        return ids
+
+    def decode(self, ids) -> str:
+        raw = b"".join(self.decoder.get(int(i), b"") for i in ids)
         return raw.decode("utf-8", errors="replace")
 
 
@@ -226,13 +309,31 @@ class WhisperTokenizer:
 
     @classmethod
     def for_model(cls, n_vocab: int, vocab_dir: str | None = None):
+        """Resolution ladder over every vocabulary format Whisper ships in:
+        HF slow (vocab.json+merges.txt), HF fast (tokenizer.json), openai
+        tiktoken (*.tiktoken); byte-fallback keeps the stack functional
+        when none exist (degrade-and-continue)."""
         specials = special_tokens_for_vocab(n_vocab)
         codec: object = ByteFallbackTokenizer()
-        if vocab_dir and os.path.exists(os.path.join(vocab_dir, "vocab.json")):
-            try:
-                codec = BPETokenizer.from_dir(vocab_dir)
-            except Exception:
-                pass
+        if vocab_dir and os.path.isdir(vocab_dir):
+            loaders = []
+            if os.path.exists(os.path.join(vocab_dir, "vocab.json")):
+                loaders.append(lambda: BPETokenizer.from_dir(vocab_dir))
+            tok_json = os.path.join(vocab_dir, "tokenizer.json")
+            if os.path.exists(tok_json):
+                loaders.append(lambda: BPETokenizer.from_tokenizer_json(tok_json))
+            for name in sorted(os.listdir(vocab_dir)):
+                if name.endswith(".tiktoken"):
+                    path = os.path.join(vocab_dir, name)
+                    loaders.append(
+                        lambda p=path: TiktokenTokenizer.from_file(p)
+                    )
+            for load in loaders:
+                try:
+                    codec = load()
+                    break
+                except Exception:
+                    continue
         return cls(specials=specials, codec=codec)
 
     def encode(self, text: str) -> list[int]:

@@ -135,11 +135,14 @@ class AudioProcessingPipeline:
         }
 
     # -- stages -----------------------------------------------------------
-    def transcribe(self, audio_path: str, task: str = "transcribe") -> dict:
-        """Single-file ASR (vocalis/core/audio_pipeline.py:323-369)."""
+    def transcribe(self, audio_path: str, task: str = "transcribe",
+                   initial_prompt: str | None = None) -> dict:
+        """Single-file ASR (vocalis/core/audio_pipeline.py:323-369).
+        initial_prompt → <|startofprev|> conditioning, the knob the
+        reference's retry ladder passes (dynamic_bar_audio.py:513-525)."""
         t = self.load_transcription_model()
         audio, _ = audio_io.read_audio_file(audio_path)
-        return t.transcribe([audio])[0]
+        return t.transcribe([audio], initial_prompt=initial_prompt)[0]
 
     def diarize(self, audio_path: str, num_speakers: int = 2,
                 threshold: float | None = None) -> list[dict]:

@@ -71,8 +71,29 @@ class Transcriber:
         )
 
     # -- prompts ----------------------------------------------------------
-    def _prompt_row(self, language: str | None) -> list[int]:
-        return self.tokenizer.specials.sot_sequence(
+    def _prompt_prefix(self, initial_prompt: str | None) -> list[int]:
+        """<|startofprev|> + encoded prompt text, capped at half the text
+        context (openai/whisper's prompt window). Conditioned on during
+        prefill but never scored: decode rules only govern SAMPLED
+        positions, and no_speech is read at the SOT index, so prefix
+        tokens are invisible to suppression/loss. Reference analogue:
+        initial_prompt in the retry ladder (dynamic_bar_audio.py:513-525)."""
+        if not initial_prompt:
+            return []
+        sp = self.tokenizer.specials
+        toks = self.tokenizer.encode(" " + initial_prompt.strip())
+        # openai/whisper's half-context prompt window, further capped so
+        # prefix + SOT sequence + max_decode_len fits n_text_ctx
+        cap = min(
+            self.dims.n_text_ctx // 2 - 1,
+            self.dims.n_text_ctx - self.config.max_decode_len - 8,
+        )
+        return [sp.sot_prev] + toks[-max(cap, 0):]
+
+    def _prompt_row(
+        self, language: str | None, prefix: list[int] | None = None
+    ) -> list[int]:
+        return (prefix or []) + self.tokenizer.specials.sot_sequence(
             language=language or self.config.language or "en",
             task=self.config.task,
             timestamps=self.config.return_timestamps,
@@ -85,11 +106,13 @@ class Transcriber:
         languages: Sequence[str | None],
         temperature: float = 0.0,
         beam_size: int | None = None,
+        prefix: list[int] | None = None,
     ):
         beam_size = beam_size if beam_size is not None else self.config.beam_size
         prompt = np.array(
-            [self._prompt_row(l) for l in languages], np.int32
+            [self._prompt_row(l, prefix) for l in languages], np.int32
         )
+        sot_index = len(prefix) if prefix else 0
         cross_kv = _encode_batch(
             self.params, self.dims, jnp.asarray(audio_batch),
             self.dims.n_mels, quantize_kv=self.config.quantize_cross_kv,
@@ -98,13 +121,13 @@ class Transcriber:
             res = beam_mod.beam_decode_features(
                 self.params, self.dims, cross_kv, jnp.asarray(prompt),
                 rules=self.rules, beam_size=beam_size,
-                max_len=self.config.max_decode_len,
+                max_len=self.config.max_decode_len, sot_index=sot_index,
             )
         else:
             res = greedy_mod.greedy_decode_features(
                 self.params, self.dims, cross_kv, jnp.asarray(prompt),
                 rules=self.rules, max_len=self.config.max_decode_len,
-                temperature=float(temperature),
+                temperature=float(temperature), sot_index=sot_index,
                 key=jax.random.PRNGKey(int(temperature * 1000) + 1)
                 if temperature > 0 else None,
             )
@@ -141,17 +164,25 @@ class Transcriber:
 
     # -- public API -------------------------------------------------------
     def transcribe(
-        self, audios: Sequence[np.ndarray], languages: Sequence[str] | None = None
+        self,
+        audios: Sequence[np.ndarray],
+        languages: Sequence[str] | None = None,
+        initial_prompt: str | None = None,
     ) -> list[dict]:
         """Transcribe a list of waveforms (16 kHz mono float32).
 
         Returns one result dict per file: {"text", "chunks", "segments",
         "language", "duration", "processing_times"} — the reference's
         result keys (vocalis/core/audio_pipeline.py:666-683 subset).
+        initial_prompt conditions the decoder via <|startofprev|> tokens
+        (reference retry ladder: dynamic_bar_audio.py:513-525).
         """
         t0 = time.time()
         cfg = self.config
         sp = self.tokenizer.specials
+        prefix = self._prompt_prefix(
+            initial_prompt if initial_prompt is not None else cfg.initial_prompt
+        )
 
         plans: list[longform.ChunkPlan] = []
         for fi, audio in enumerate(audios):
@@ -192,7 +223,7 @@ class Transcriber:
                 )
                 langs += ["en"] * pad
             self._decode_windows_with_fallback(
-                batch, langs, lo, hi, window_results
+                batch, langs, lo, hi, window_results, prefix=prefix
             )
 
         # merge windows per file
@@ -213,15 +244,18 @@ class Transcriber:
         return out
 
     def _decode_windows_with_fallback(
-        self, batch, langs, lo, hi, window_results
+        self, batch, langs, lo, hi, window_results, prefix=None
     ) -> None:
         """Decode one fixed batch; re-decode failing rows at escalating
         temperatures (openai/whisper §4.5 fallback; reference analogue:
-        dynamic_bar_audio.py:528-543)."""
+        dynamic_bar_audio.py:528-543). The initial_prompt prefix rides
+        every retry, as the reference's ladder re-passes it per attempt."""
         pending = np.arange(hi - lo)
         cur_batch, cur_langs = batch, langs
         for t_i, temp in enumerate(FALLBACK_TEMPERATURES):
-            res, p_len = self._decode_batch(cur_batch, cur_langs, temperature=temp)
+            res, p_len = self._decode_batch(
+                cur_batch, cur_langs, temperature=temp, prefix=prefix
+            )
             tokens = np.asarray(res.tokens)[:, p_len:]
             lengths = np.asarray(res.lengths)
             avg_lp = np.asarray(res.avg_logprobs)
