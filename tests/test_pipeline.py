@@ -19,7 +19,7 @@ class FakeTranscriber:
     def __init__(self, segments_per_file):
         self.segments_per_file = segments_per_file
 
-    def transcribe(self, audios, languages=None):
+    def transcribe(self, audios, languages=None, initial_prompt=None):
         out = []
         for segs in self.segments_per_file[: len(audios)]:
             out.append({

@@ -55,11 +55,19 @@ def run_batch(args):
 
 
 def run_transcribe(args):
+    from .config import PipelineConfig
     from .pipeline.audio_pipeline import get_pipeline
 
-    res = get_pipeline().process_audio(
+    config = PipelineConfig()
+    if args.model:
+        config.transcription.model = args.model
+    if args.language:
+        config.transcription.language = args.language
+    if args.beam_size:
+        config.transcription.beam_size = args.beam_size
+    res = get_pipeline(config).process_audio(
         args.input, task=args.task, num_speakers=args.num_speakers,
-        enrich=not args.no_enrich,
+        enrich=not args.no_enrich, initial_prompt=args.initial_prompt,
     )
     if args.json:
         print(json.dumps(res, indent=1, default=str))
@@ -151,8 +159,27 @@ def run_check_tpu(args):
     print(f"4096^3 bf16 matmul x10: {2 * 4096**3 * 10 / dt / 1e12:.1f} TFLOP/s")
 
 
+def _apply_platform(platform: str | None):
+    """Force the JAX platform before any backend initializes.
+
+    A site-level customization may import jax at interpreter start and
+    pin a remote accelerator platform, making the JAX_PLATFORMS env var
+    too late — jax.config still works until the first backend init, so
+    route both the --platform flag and the env var through it.
+    """
+    import os
+
+    platform = platform or os.environ.get("JAX_PLATFORMS")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="turbo_whisper_workspace_tpu")
+    p.add_argument("--platform", default=None,
+                   help="JAX platform override (cpu / tpu / axon)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("api", help="run the HTTP API server")
@@ -185,6 +212,14 @@ def main(argv=None):
     s.add_argument("--input", "-i", required=True)
     s.add_argument("--task", default="transcribe",
                    choices=["transcribe", "translate"])
+    s.add_argument("--model", default=None,
+                   help="whisper config name (tiny/base/.../large-v3-turbo)")
+    s.add_argument("--language", default=None,
+                   help="force language (default: auto-detect)")
+    s.add_argument("--beam-size", type=int, default=None,
+                   help="beam width (default 1 = greedy)")
+    s.add_argument("--initial-prompt", default=None,
+                   help="condition decode on this text (<|startofprev|>)")
     s.add_argument("--num-speakers", type=int, default=2)
     s.add_argument("--no-enrich", action="store_true")
     s.add_argument("--json", action="store_true")
@@ -225,6 +260,7 @@ def main(argv=None):
     s.set_defaults(fn=run_check_tpu)
 
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
     args.fn(args)
 
 

@@ -202,11 +202,28 @@ def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
     return x.reshape(b, t, n_head, d // n_head)
 
 
-def _use_flash() -> bool:
+def _pallas_mode() -> str:
+    """Kernel routing, resolved at trace time.
+
+    "compiled" — Pallas kernels (TPU); "interpret" — Pallas in interpret
+    mode (CI coverage of the real kernel call sites off-TPU, env
+    TWW_PALLAS=interpret); "off" — plain-XLA fallbacks (CPU default:
+    interpret-mode Pallas per decode step is pathologically slow).
+    """
+    import os
+
+    forced = os.environ.get("TWW_PALLAS")
+    if forced in ("compiled", "interpret", "off"):
+        return forced
     try:
-        return jax.default_backend() in ("tpu", "axon")
+        on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:
-        return False
+        on_tpu = False
+    return "compiled" if on_tpu else "off"
+
+
+def _use_flash() -> bool:
+    return _pallas_mode() != "off"
 
 
 def mha(
@@ -226,14 +243,18 @@ def mha(
     """
     b, tq, d = q.shape
     tk = k.shape[1]
+    mode = _pallas_mode()
     if (not causal and mask is None and tq == tk and tq >= 256
-            and _use_flash()):
+            and mode != "off"):
         from ..ops.attention import flash_attention
 
         to_heads = lambda x: x.reshape(b, tq, n_head, d // n_head).transpose(
             0, 2, 1, 3
         )
-        out = flash_attention(to_heads(q), to_heads(k), to_heads(v))
+        out = flash_attention(
+            to_heads(q), to_heads(k), to_heads(v),
+            interpret=(mode == "interpret"),
+        )
         return out.transpose(0, 2, 1, 3).reshape(b, tq, d)
     scale = (d // n_head) ** -0.5
     qh = _split_heads(q, n_head)
@@ -412,13 +433,24 @@ def decoder_forward(
         bq, tq, dd = cq.shape
         qh = cq.reshape(bq, tq, n_head, dd // n_head).transpose(0, 2, 1, 3)
         if "k_q" in ckv:  # int8 K/V via the Pallas kernel
-            from ..ops.attention import cross_attention_int8
+            mode = _pallas_mode()
+            if mode == "off":
+                from ..ops.attention import cross_attention_int8_xla
 
-            cattn = cross_attention_int8(
-                qh, ckv["k_q"], ckv["v_q"], ckv["k_scale"], ckv["v_scale"],
-                seq_len=dims.n_audio_ctx,
-                interpret=not _use_flash(),
-            )
+                cattn = cross_attention_int8_xla(
+                    qh, ckv["k_q"], ckv["v_q"],
+                    ckv["k_scale"], ckv["v_scale"],
+                    seq_len=dims.n_audio_ctx,
+                )
+            else:
+                from ..ops.attention import cross_attention_int8
+
+                cattn = cross_attention_int8(
+                    qh, ckv["k_q"], ckv["v_q"],
+                    ckv["k_scale"], ckv["v_scale"],
+                    seq_len=dims.n_audio_ctx,
+                    interpret=(mode == "interpret"),
+                )
         else:
             ck_h = ckv["k"].astype(cq.dtype)      # (B, H, Tk, Dh)
             cv_h = ckv["v"].astype(cq.dtype)

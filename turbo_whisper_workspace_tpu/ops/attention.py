@@ -211,6 +211,43 @@ def quantize_cross_kv_int8(k: jax.Array, v: jax.Array):
     return {"k_q": kq, "v_q": vq, "k_scale": ks, "v_scale": vs}
 
 
+@functools.partial(jax.jit, static_argnames=("seq_len",))
+def cross_attention_int8_xla(
+    q: jax.Array,        # (B, H, 1, Dh)
+    kq: jax.Array,       # (B, H, Dh, Tpad) int8
+    vq: jax.Array,       # (B, H, Dh, Tpad) int8
+    k_scale: jax.Array,  # (B, H) f32
+    v_scale: jax.Array,  # (B, H) f32
+    seq_len: int | None = None,
+) -> jax.Array:
+    """Plain-XLA twin of cross_attention_int8 — same math, no Pallas.
+
+    Used off-TPU (interpret-mode Pallas at every decode step is
+    pathologically slow on CPU) and as the oracle in kernel tests."""
+    import math
+
+    b, h, one, dh = q.shape
+    tpad = kq.shape[-1]
+    seq_len = seq_len if seq_len is not None else tpad
+    scale = dh**-0.5
+    qs = (q.astype(jnp.float32) * (k_scale[:, :, None, None] * scale)).astype(
+        jnp.bfloat16
+    )
+    scores = jnp.einsum(
+        "bhqd,bhdt->bhqt", qs, kq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if seq_len < tpad:
+        col = jnp.arange(tpad)
+        scores = jnp.where(col[None, None, None] < seq_len, scores, NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "bhqt,bhdt->bhqd", w, vq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return (out * v_scale[:, :, None, None]).astype(q.dtype)
+
+
 def attention_reference(q, k, v):
     """Naive einsum oracle for kernel tests."""
     d = q.shape[-1]

@@ -179,11 +179,12 @@ class AudioProcessingPipeline:
         num_speakers: int = 2,
         threshold: float = 0.5,
         enrich: bool | None = None,
+        initial_prompt: str | None = None,
     ) -> dict:
         """The six-step master flow (vocalis/core/audio_pipeline.py:567-688)."""
         results = self.process_batch(
             [audio_path], task=task, num_speakers=num_speakers,
-            threshold=threshold, enrich=enrich,
+            threshold=threshold, enrich=enrich, initial_prompt=initial_prompt,
         )
         return results[0]
 
@@ -194,6 +195,7 @@ class AudioProcessingPipeline:
         num_speakers: int = 2,
         threshold: float = 0.5,
         enrich: bool | None = None,
+        initial_prompt: str | None = None,
     ) -> list[dict]:
         """Batched master flow: all files' windows share one compiled
         transcription batch; diarization crops batch likewise."""
@@ -208,7 +210,7 @@ class AudioProcessingPipeline:
         # 1) transcription (all files at once)
         t0 = time.time()
         transcriber = self.load_transcription_model()
-        asr = transcriber.transcribe(audios)
+        asr = transcriber.transcribe(audios, initial_prompt=initial_prompt)
         t_transcribe = time.time() - t0
 
         # 2) diarization

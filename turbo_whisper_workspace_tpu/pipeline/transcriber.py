@@ -208,9 +208,12 @@ class Transcriber:
                 languages = self.detect_languages(firsts)
         win_langs = [languages[p.file_index] for p in plans]
 
-        # fixed-size batches, padded with silence
-        bsz = cfg.batch_size
+        # fixed-size batches, padded with silence. The batch is bucketed
+        # to the next power of two ≥ the window count (capped at the
+        # configured size) so a single short file doesn't pay for a full
+        # 32-row decode; each bucket size compiles once and is reused.
         n_win = len(plans)
+        bsz = min(cfg.batch_size, 1 << (n_win - 1).bit_length() if n_win else 1)
         window_results: list[dict | None] = [None] * n_win
         for lo in range(0, n_win, bsz):
             hi = min(lo + bsz, n_win)
