@@ -47,7 +47,15 @@ def run_security(args):
 def run_batch(args):
     from .parallel.batch_driver import BatchDriver
 
-    driver = BatchDriver(output_dir=args.output,
+    pipeline = None
+    if args.model:
+        from .config import PipelineConfig
+        from .pipeline.audio_pipeline import get_pipeline
+
+        config = PipelineConfig()
+        config.transcription.model = args.model
+        pipeline = get_pipeline(config)
+    driver = BatchDriver(pipeline=pipeline, output_dir=args.output,
                          files_per_call=args.files_per_call)
     stats = driver.run_directory(args.input, num_speakers=args.num_speakers,
                                  enrich=not args.no_enrich)
@@ -203,6 +211,8 @@ def main(argv=None):
     s = sub.add_parser("batch", help="batched directory transcription")
     s.add_argument("--input", "-i", required=True)
     s.add_argument("--output", "-o", default="batch_output")
+    s.add_argument("--model", default=None,
+                   help="whisper config name (tiny/base/.../large-v3-turbo)")
     s.add_argument("--num-speakers", type=int, default=0)
     s.add_argument("--files-per-call", type=int, default=8)
     s.add_argument("--no-enrich", action="store_true")

@@ -91,6 +91,9 @@ class BatchDriver:
     # -- main -------------------------------------------------------------
     def run_directory(self, directory: str, num_speakers: int = 0,
                       enrich: bool = True) -> BatchStats:
+        from .infer import maybe_initialize_distributed
+
+        maybe_initialize_distributed()  # no-op off-pod
         files = sorted(
             os.path.join(directory, f)
             for f in os.listdir(directory)
@@ -128,8 +131,11 @@ class BatchDriver:
         return stats
 
     def _process_with_isolation(self, chunk, num_speakers, enrich):
-        """Batch call; on failure retry then per-file to isolate the bad
-        input (per-file retry + skip accounting, SURVEY.md §5.3)."""
+        """Batch call; transient retries at the full-chunk level, then
+        BISECT to isolate poisoned inputs in O(log n) calls. Halves of a
+        power-of-two chunk reuse existing decode batch buckets, so
+        isolation never triggers a fresh (minutes-long remote) compile
+        the way per-file re-runs would (SURVEY.md §5.3)."""
         for attempt in range(self.max_retries + 1):
             try:
                 return self.pipeline.process_batch(
@@ -138,12 +144,22 @@ class BatchDriver:
             except Exception as e:
                 logger.warning("batch of %d failed (attempt %d): %s",
                                len(chunk), attempt + 1, e)
-        out = []
-        for path in chunk:
-            try:
-                out.append(self.pipeline.process_batch(
-                    [path], num_speakers=num_speakers, enrich=enrich)[0])
-            except Exception as e:
-                logger.error("file failed permanently: %s (%s)", path, e)
-                out.append(None)
-        return out
+        if len(chunk) == 1:
+            logger.error("file failed permanently: %s", chunk[0])
+            return [None]
+        mid = (len(chunk) + 1) // 2
+        return (self._bisect(chunk[:mid], num_speakers, enrich)
+                + self._bisect(chunk[mid:], num_speakers, enrich))
+
+    def _bisect(self, chunk, num_speakers, enrich):
+        try:
+            return self.pipeline.process_batch(
+                chunk, num_speakers=num_speakers, enrich=enrich
+            )
+        except Exception as e:
+            if len(chunk) == 1:
+                logger.error("file failed permanently: %s (%s)", chunk[0], e)
+                return [None]
+            mid = (len(chunk) + 1) // 2
+            return (self._bisect(chunk[:mid], num_speakers, enrich)
+                    + self._bisect(chunk[mid:], num_speakers, enrich))
