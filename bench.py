@@ -1,16 +1,27 @@
-"""Headline benchmark: audio-seconds transcribed per second per chip.
+"""Headline benchmarks: audio-seconds transcribed per second per chip.
 
-Runs the flagship path (whisper large-v3-turbo, bf16, batch of 30 s
-windows → fused mel → encoder → KV-cached greedy decode with timestamp
-rules) on the attached TPU and prints ONE json line:
-  {"metric": "audio_s_per_s_per_chip", "value": N, "unit": "audio_s/s",
-   "vs_baseline": N/500}
-vs_baseline is against BASELINE.md's >500 audio-s/s/chip target.
+Prints one JSON line per bench, the BASELINE target configuration LAST
+(the driver records the final line):
+
+  1. asr_greedy      — large-v3-turbo, batch 32, greedy, 128-token decode
+                       (tracking metric from round 1)
+  2. pipeline_beam5  — BASELINE.md's >500 target row: large-v3-turbo
+                       BEAM-5 + timestamps (config #3) PLUS the
+                       diarization forwards (segmentation sliding
+                       windows + speaker-embedding crops) that the full
+                       pipeline runs per window batch
+                       (vocalis/core/audio_pipeline.py:567-688 flow).
+
+vs_baseline is against the >500 audio-s/s/chip target in both cases.
 
 Weights are random (no pretrained checkpoints reachable offline) —
-throughput is weight-independent; decode length is fixed at 128 tokens
-per window (≈ dense-speech token count for 30 s), a conservative stand-in
-for EOT-terminated decode.
+throughput is weight-independent; EOT is suppressed so every window
+decodes the full 128 tokens (honest worst case: real checkpoints
+terminate earlier). Host-side merge/clustering is excluded: it is
+O(segments²) NumPy measured at <1% of stage time in examples/demo.py.
+
+Env knobs: BENCH_MODE=asr|pipeline|both, BENCH_BATCH, BENCH_DECODE_LEN,
+BENCH_ITERS, BENCH_BEAM.
 """
 
 import json
@@ -20,7 +31,7 @@ import time
 import jax
 
 # persistent compile cache: repeated bench runs skip the multi-minute
-# remote compilation of the fused decode program
+# remote compilation of the fused decode programs
 jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"),
@@ -31,77 +42,148 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from turbo_whisper_workspace_tpu.decode import greedy, rules as rules_mod, tokenizer
+from turbo_whisper_workspace_tpu.decode import beam, greedy, rules as rules_mod, tokenizer
+from turbo_whisper_workspace_tpu.models import embedding as emb_mod
+from turbo_whisper_workspace_tpu.models import segmentation as seg_mod
 from turbo_whisper_workspace_tpu.models import whisper as wm
 from turbo_whisper_workspace_tpu.ops import mel as mel_ops
 
-MODEL = "large-v3-turbo"
-BATCH = 32
-DECODE_LEN = 128
-ITERS = 3
+MODEL = os.environ.get("BENCH_MODEL", "large-v3-turbo")
+BATCH = int(os.environ.get("BENCH_BATCH", 32))
+DECODE_LEN = int(os.environ.get("BENCH_DECODE_LEN", 128))
+ITERS = int(os.environ.get("BENCH_ITERS", 3))
+BEAM = int(os.environ.get("BENCH_BEAM", 5))
+MODE = os.environ.get("BENCH_MODE", "both")
+
+# diarization work per 30 s window at the shipping config
+# (DiarizationConfig: window_s=10, step_s=1 → 21 segmentation windows;
+# embedding crops ≈ one 2 s crop per speech second / 2 → 15)
+SEG_WINDOWS_PER_30S = 21
+EMB_CROPS_PER_30S = 15
 
 
-def main():
-    dims = wm.WHISPER_CONFIGS[MODEL]
-    params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    sp = tokenizer.special_tokens_for_vocab(dims.n_vocab)
-    # random weights sample EOT immediately and the while_loop early-exits;
-    # suppress EOT so every window decodes the full 128 tokens (honest
-    # worst-case: real checkpoints terminate earlier)
-    drules = rules_mod.DecodeRules(
-        specials=sp, timestamps=True, extra_suppress=(sp.eot,)
-    )
-    prompt = jnp.tile(
-        jnp.asarray([[sp.sot, sp.language_tokens["en"], sp.transcribe]], jnp.int32),
-        (BATCH, 1),
-    )
+def _sync(x):
+    # tiny scalar fetch — block_until_ready alone has proven unreliable
+    # through the remote-device tunnel
+    return float(np.asarray(jnp.sum(x)))
 
+
+def _emit(name, audio_seconds, elapsed, compile_s, detail):
+    value = audio_seconds / elapsed
+    detail.update({
+        "model": MODEL, "batch": BATCH, "decode_len": DECODE_LEN,
+        "iters": ITERS, "compile_s": round(compile_s, 1),
+        "elapsed_s": round(elapsed, 2), "device": str(jax.devices()[0]),
+    })
+    print(json.dumps({
+        "metric": name,
+        "value": round(value, 2),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(value / 500.0, 3),
+        "detail": detail,
+    }), flush=True)
+    return value
+
+
+def bench_asr_greedy(params, dims, drules, prompt, audio):
     @jax.jit
     def step(params, audio, prompt):
         mels = mel_ops.log_mel_spectrogram(audio, num_mels=dims.n_mels)
         feats = wm.encoder_forward(params, dims, mels)
-        # int8 cross-KV (the shipping default): halves the dominant
-        # decode-step HBM read — decode 4.66 → 3.14 ms/step measured
         ckv = wm.precompute_cross_kv(params, dims, feats, quantize=True)
         res = greedy.greedy_decode_features(
             params, dims, ckv, prompt, rules=drules, max_len=DECODE_LEN
         )
         return res.tokens
 
+    t0 = time.time()
+    _sync(step(params, audio, prompt))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(ITERS):
+        toks = step(params, audio, prompt)
+    _sync(toks)
+    elapsed = time.time() - t0
+    return _emit("asr_greedy", BATCH * 30.0 * ITERS, elapsed, compile_s, {})
+
+
+def bench_pipeline_beam5(params, dims, drules, prompt, audio):
+    """BASELINE config #3/#4: beam-5 + timestamps + diarization forwards."""
+    seg_dims = seg_mod.SegmentationDims()
+    seg_params = seg_mod.init_params(seg_dims, jax.random.PRNGKey(1),
+                                     dtype=jnp.bfloat16)
+    e_dims = emb_mod.EmbeddingDims()
+    e_params = emb_mod.init_params(e_dims, jax.random.PRNGKey(2),
+                                   dtype=jnp.bfloat16)
+    n_seg = BATCH * SEG_WINDOWS_PER_30S
+    n_emb = BATCH * EMB_CROPS_PER_30S
+
+    @jax.jit
+    def step(params, seg_params, e_params, audio, prompt):
+        mels = mel_ops.log_mel_spectrogram(audio, num_mels=dims.n_mels)
+        feats = wm.encoder_forward(params, dims, mels)
+        ckv = wm.precompute_cross_kv(params, dims, feats, quantize=True)
+        res = beam.beam_decode_features(
+            params, dims, ckv, prompt, rules=drules, beam_size=BEAM,
+            max_len=DECODE_LEN,
+        )
+        # diarization stage on the same audio: sliding segmentation
+        # windows (10 s / 1 s step) + attentive-stats embedding crops,
+        # batched exactly as pipeline/diarizer.py batches them — which
+        # computes its own 80-mel features (whisper's may be 128-mel)
+        diar_mels = mel_ops.log_mel_spectrogram(
+            audio, num_mels=seg_dims.n_mels
+        )
+        seg_mels = jax.lax.dynamic_slice_in_dim(
+            jnp.tile(diar_mels, (-(-n_seg // BATCH), 1, 1)), 0, n_seg, 0
+        )[:, :, : seg_dims.window_frames]
+        seg_logits = seg_mod.forward(seg_params, seg_dims, seg_mels)
+        emb_mels = jax.lax.dynamic_slice_in_dim(
+            jnp.tile(diar_mels, (-(-n_emb // BATCH), 1, 1)), 0, n_emb, 0
+        )[:, :, : e_dims.crop_frames]
+        embs = emb_mod.forward(e_params, e_dims, emb_mels)
+        return (res.tokens, jnp.sum(seg_logits) + jnp.sum(embs))
+
+    t0 = time.time()
+    toks, aux = step(params, seg_params, e_params, audio, prompt)
+    _sync(toks)
+    _sync(aux)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(ITERS):
+        toks, aux = step(params, seg_params, e_params, audio, prompt)
+    _sync(toks)
+    _sync(aux)
+    elapsed = time.time() - t0
+    return _emit(
+        "pipeline_beam5", BATCH * 30.0 * ITERS, elapsed, compile_s,
+        {"beam": BEAM, "seg_windows": n_seg, "emb_crops": n_emb},
+    )
+
+
+def main():
+    dims = wm.WHISPER_CONFIGS[MODEL]
+    params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    sp = tokenizer.special_tokens_for_vocab(dims.n_vocab)
+    # random weights sample EOT immediately and the loop early-exits;
+    # suppress EOT so every window decodes the full DECODE_LEN tokens
+    drules = rules_mod.DecodeRules(
+        specials=sp, timestamps=True, extra_suppress=(sp.eot,)
+    )
+    prompt = jnp.tile(
+        jnp.asarray([[sp.sot, sp.language_tokens["en"], sp.transcribe]],
+                    jnp.int32),
+        (BATCH, 1),
+    )
     rng = np.random.default_rng(0)
     audio = jnp.asarray(
         rng.standard_normal((BATCH, mel_ops.N_SAMPLES)).astype(np.float32) * 0.1
     )
 
-    def sync(x):
-        # tiny scalar fetch — block_until_ready alone has proven
-        # unreliable through the remote-device tunnel
-        return int(np.asarray(jnp.sum(x)))
-
-    t0 = time.time()
-    sync(step(params, audio, prompt))
-    compile_s = time.time() - t0
-
-    t0 = time.time()
-    for _ in range(ITERS):
-        toks = step(params, audio, prompt)
-    sync(toks)
-    elapsed = time.time() - t0
-
-    audio_seconds = BATCH * 30.0 * ITERS
-    value = audio_seconds / elapsed
-    print(json.dumps({
-        "metric": "audio_s_per_s_per_chip",
-        "value": round(value, 2),
-        "unit": "audio_s/s",
-        "vs_baseline": round(value / 500.0, 3),
-        "detail": {
-            "model": MODEL, "batch": BATCH, "decode_len": DECODE_LEN,
-            "iters": ITERS, "compile_s": round(compile_s, 1),
-            "elapsed_s": round(elapsed, 2),
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    if MODE in ("asr", "both"):
+        bench_asr_greedy(params, dims, drules, prompt, audio)
+    if MODE in ("pipeline", "both"):
+        bench_pipeline_beam5(params, dims, drules, prompt, audio)
 
 
 if __name__ == "__main__":

@@ -105,14 +105,25 @@ def forward(params, dims: EmbeddingDims, mel: jax.Array) -> jax.Array:
 def spectral_embedding(mel: np.ndarray) -> np.ndarray:
     """Weight-free fallback: (B, n_mels, T) log-mel → (B, 4*n_mels) long-term
     spectral statistics (mean, std, Δ-mean-abs, band-energy ratios),
-    L2-normalized. Deterministic; separates spectrally distinct voices."""
+    standardized per feature ACROSS the batch (one file's crops arrive
+    together, so this adapts to the recording: without it, high-variance
+    dims dominate the cosine metric and clustering confuses speakers),
+    then L2-normalized. Deterministic; separates spectrally distinct
+    voices.
+
+    Design: the embedding is the ENERGY-WEIGHTED time-averaged log-mel
+    spectrum with per-crop loudness removed — loud (voiced) frames carry
+    the vocal-tract/pitch signature, and level/AM variation within a
+    speaker is exactly the nuisance that must not reach the cosine
+    metric. Level-sensitive statistics (per-band std, Δ) measurably
+    DEGRADE clustering purity here (tests/test_diarization_der.py)."""
     mel = np.asarray(mel, np.float32)
-    mean = mel.mean(-1)
-    std = mel.std(-1)
-    delta = np.abs(np.diff(mel, axis=-1)).mean(-1)
-    # per-band energy relative to total (spectral shape)
-    e = np.exp(mel).mean(-1)
-    shape = e / (e.sum(-1, keepdims=True) + 1e-9)
-    emb = np.concatenate([mean, std, delta, shape], axis=-1)
-    emb = emb - emb.mean(-1, keepdims=True)
+    # frame weights: softmax-like energy share per crop
+    w = np.exp(mel - mel.max(axis=(1, 2), keepdims=True)).mean(1)  # (B, T)
+    w = w / (w.sum(-1, keepdims=True) + 1e-9)
+    spec = (mel * w[:, None, :]).sum(-1)                           # (B, M)
+    spec = spec - spec.mean(-1, keepdims=True)    # remove crop loudness
+    emb = (spec - spec.mean(0, keepdims=True)) / (
+        spec.std(0, keepdims=True) + 1e-9
+    )
     return emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-9)
