@@ -78,6 +78,10 @@ class LLMConfig:
     seed: int = 42                    # llm_helper.py:171-185
     max_segments: int = 20            # legacy cap audio_pipeline.py:575,603
     enabled: bool = True
+    # weight quantization: 4 matches the reference's Q4_K_M GGUF serving
+    # point (vocalis/llm/llm_helper.py:67-73) — grouped int4 body with an
+    # int8 lm_head (ops/quant.py); 8 = int8 everywhere; 0 = bf16
+    quantize_bits: int = 4
 
 
 @dataclass

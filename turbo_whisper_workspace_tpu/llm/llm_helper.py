@@ -126,6 +126,15 @@ def get_llm(config: LLMConfig | None = None):
             if path and os.path.isdir(path):
                 try:
                     params, dims = _load_llama_checkpoint(path)
+                    if config.quantize_bits in (4, 8):
+                        from ..ops.quant import quantize_tree
+
+                        # Q4 operating point (reference serves Q4_K_M,
+                        # vocalis/llm/llm_helper.py:67-73): quarter the
+                        # weight bytes of the bandwidth-bound decode
+                        params = quantize_tree(
+                            params, bits=config.quantize_bits
+                        )
                     _llm_instance = TPULlama(params, dims)
                     logger.info("loaded LLM from %s", path)
                     break

@@ -176,7 +176,7 @@ def forward(
 
     x, new_cache = jax.lax.scan(body, x, (params["blocks"], kv_cache))
     x = rms_norm(x, params["norm"], dims.norm_eps)
-    if "w_q" in params["lm_head"]:
+    if "w" not in params["lm_head"]:   # int8/int4 quantized head
         logits = matmul_any(x, params["lm_head"]).astype(jnp.float32)
     else:
         logits = jnp.einsum(

@@ -78,31 +78,175 @@ def int8_matmul(
     return out
 
 
+# ---------------------------------------------------------------------------
+# int4: the reference's Q4 operating point (Hermes-3-8B Q4_K_M through
+# llama.cpp, vocalis/llm/llm_helper.py:67-73). Grouped symmetric 4-bit
+# (group size 128 along K, like Q4 block scales): quarter the bf16 weight
+# bytes for the bandwidth-bound LLM decode step.
+#
+# TPU-friendly packing: two int4 values share one int8 byte, with the
+# LOW nibbles holding rows [0, K/2) and the HIGH nibbles rows [K/2, K).
+# The kernel then never interleaves — it splits x into halves and runs
+# two MXU matmuls (x_lo @ deq(low) + x_hi @ deq(high)); nibble extraction
+# is two VPU shifts.
+
+GROUP4 = 128
+
+
+def quantize_int4(w: jax.Array, group: int = GROUP4) -> dict:
+    """(K, N) or layer-stacked (L, K, N) float → {"w_q4": int8 (…, K/2, N)
+    packed, "scale4": f32 (…, K/group, N)} — symmetric per-(group, col).
+
+    K must be divisible by 2*group (holds for every Llama/Whisper
+    projection at group 128)."""
+    wf = np.asarray(w, np.float32)
+    k = wf.shape[-2]
+    if k % (2 * group):
+        raise ValueError(f"K={k} not divisible by 2*group={2 * group}")
+    gshape = wf.shape[:-2] + (k // group, group, wf.shape[-1])
+    scale = np.abs(wf.reshape(gshape)).max(axis=-2) / 7.0   # (…, K/G, N)
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(
+        np.round(wf.reshape(gshape) / scale[..., None, :]), -7, 7
+    ).reshape(wf.shape).astype(np.int8)
+    lo, hi = q[..., : k // 2, :], q[..., k // 2 :, :]
+    packed = (lo & 0x0F) | (hi << 4)
+    return {"w_q4": jnp.asarray(packed.astype(np.int8)),
+            "scale4": jnp.asarray(scale, np.float32)}
+
+
+def _dequant4_halves(wq, scale, k: int):
+    """packed (K/2, N) int8 + scale (K/G, N) → (lo, hi) bf16 (K/2, N)."""
+    w32 = wq.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w32, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(w32, 4)
+    n_groups = scale.shape[-2]
+    g = k // n_groups
+    half_groups = n_groups // 2
+
+    def scale_half(x, s):
+        xg = x.reshape(half_groups, g, -1).astype(jnp.float32)
+        return (xg * s[:, None, :]).reshape(k // 2, -1).astype(jnp.bfloat16)
+
+    return (scale_half(lo, scale[:half_groups]),
+            scale_half(hi, scale[half_groups:]))
+
+
+def _q4_matmul_kernel(x_ref, wq_ref, scale_ref, o_ref, *, k: int):
+    lo, hi = _dequant4_halves(wq_ref[:], scale_ref[:], k)
+    x = x_ref[:].astype(jnp.bfloat16)
+    acc = jax.lax.dot(x[:, : k // 2], lo, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot(x[:, k // 2 :], hi, preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def int4_matmul(
+    x: jax.Array,          # (M, K) bf16/f32
+    w_q4: jax.Array,       # (K/2, N) int8 packed
+    scale: jax.Array,      # (K/G, N) f32
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """x @ dequant4(w_q4) with in-kernel dequantization. Returns (M, N)."""
+    m, k = x.shape
+    n = w_q4.shape[-1]
+    bn = min(block_n, n)
+    if n % bn:
+        bn = n
+    grid = (n // bn,)
+    n_groups = scale.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_q4_matmul_kernel, k=k),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m, k), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k // 2, bn), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_groups, bn), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m, bn), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * k * 2 + k * n // 2 + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_q4, scale)
+    return out
+
+
+def _int4_matmul_xla(x, w_q4, scale):
+    """Plain-XLA twin of int4_matmul (CPU path / oracle)."""
+    k = x.shape[-1]
+    lo, hi = _dequant4_halves(w_q4, scale, k)
+    x = x.astype(jnp.bfloat16)
+    acc = jnp.dot(x[..., : k // 2], lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x[..., k // 2 :], hi, preferred_element_type=jnp.float32)
+    return acc.astype(x.dtype)
+
+
 def matmul_any(x: jax.Array, wp: dict, interpret: bool | None = None) -> jax.Array:
-    """x @ w for either a dense {"w"} or quantized {"w_q","scale"} param.
+    """x @ w for a dense {"w"}, int8 {"w_q","scale"}, or int4
+    {"w_q4","scale4"} param dict.
 
     Works on (..., K) inputs; collapses leading dims for the kernel.
-    On non-TPU backends the kernel runs in interpret mode (tests).
+    On non-TPU backends quantized matmuls run the plain-XLA twin
+    (interpret-mode Pallas per call is pathologically slow off-TPU;
+    force the real kernels with interpret=True in kernel tests).
     """
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    if "w_q4" in wp:
+        if interpret is None and jax.default_backend() in ("tpu", "axon"):
+            out = int4_matmul(x.reshape(-1, k), wp["w_q4"], wp["scale4"])
+        elif interpret:
+            out = int4_matmul(x.reshape(-1, k), wp["w_q4"], wp["scale4"],
+                              interpret=True)
+        else:
+            out = _int4_matmul_xla(x.reshape(-1, k), wp["w_q4"], wp["scale4"])
+        return out.reshape(*lead, -1)
     if "w_q" not in wp:
         return x @ wp["w"].astype(x.dtype)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    lead = x.shape[:-1]
-    k = x.shape[-1]
-    x2 = x.reshape(-1, k)
-    out = int8_matmul(x2, wp["w_q"], wp["scale"], interpret=interpret)
+    out = int8_matmul(x.reshape(-1, k), wp["w_q"], wp["scale"],
+                      interpret=interpret)
     return out.reshape(*lead, -1)
 
 
 def quantize_tree(params, keys=("q", "k", "v", "out", "gate", "up", "down",
-                                "fc1", "fc2", "lm_head")) -> dict:
+                                "fc1", "fc2", "lm_head"), bits: int = 8,
+                  group: int = GROUP4) -> dict:
     """Quantize every matching {"w": ...} projection dict in a parameter
-    tree (2-D weights or layer-stacked 3-D)."""
+    tree (2-D weights or layer-stacked 3-D). bits=4 uses grouped int4
+    (the reference's Q4 operating point); the lm_head stays int8 — as
+    Q4_K_M keeps its output tensor at q6_K, the final logits are the
+    most quantization-sensitive projection — and projections whose K
+    dim is not divisible by 2*group fall back to int8."""
+    def quant(w, name):
+        if bits == 4 and name != "lm_head":
+            # shrink the group to fit small K (tighter groups only
+            # IMPROVE accuracy); int8 only when no group ≥ 8 divides K/2
+            k = w.shape[-2]
+            g = min(group, k // 2)
+            while g >= 8 and k % (2 * g):
+                g //= 2
+            if g >= 8:
+                return quantize_int4(w, group=g)
+            return quantize_int8(w)
+        return quantize_int8(w)
+
     def walk(node, name=""):
         if isinstance(node, dict):
             if "w" in node and name in keys and node["w"].ndim in (2, 3):
-                q = quantize_int8(np.asarray(node["w"]))
+                q = quant(np.asarray(node["w"]), name)
                 if "b" in node:
                     q["b"] = node["b"]
                 return q
