@@ -51,6 +51,18 @@ def test_json_repair_ladder():
     assert lh._extract_json("no json here") is None
 
 
+def test_extract_json_nested_and_strings():
+    # nested objects (the old single-level regex failed here)
+    assert lh._extract_json('x {"a": {"b": 1}, "c": 2} y') == {
+        "a": {"b": 1}, "c": 2}
+    # braces inside string values must not unbalance the scan
+    assert lh._extract_json('{"a": "curly } brace", "b": "{"}') == {
+        "a": "curly } brace", "b": "{"}
+    # escaped quotes inside strings
+    assert lh._extract_json('{"a": "say \\"hi\\""}') == {"a": 'say "hi"'}
+    assert lh._extract_json("{ unterminated") is None
+
+
 class FakeLLM:
     is_dummy = False
 

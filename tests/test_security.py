@@ -80,6 +80,17 @@ def test_incident_report_files(tmp_path):
     assert "SECURITY INCIDENT REPORT" in text
 
 
+def test_incident_reports_never_collide(tmp_path):
+    # two incidents in the same second must not overwrite each other
+    # (reference flaw fixed per SURVEY §7.4)
+    mon = SecurityMonitor(output_dir=str(tmp_path))
+    inc = mon._analyze_transcript(_segs("I'll kill you."), "x.wav")
+    paths = {mon._save_incident_report(inc)[0] for _ in range(3)}
+    assert len(paths) == 3
+    for p in paths:
+        assert os.path.exists(p)
+
+
 def test_fallback_summary_without_llm(tmp_path):
     mon = SecurityMonitor(output_dir=str(tmp_path))
     inc = mon._analyze_transcript(_segs("He has a knife."), "x.wav")

@@ -145,6 +145,20 @@ def run_models(args):
         print(json.dumps(registry.download_models(), indent=1))
 
 
+def run_eval(args):
+    from .utils import evaluate
+
+    argv = ["--audio", args.audio, "--num-speakers", str(args.num_speakers),
+            "--collar", str(args.collar)]
+    if args.ref:
+        argv += ["--ref", args.ref]
+    if args.rttm:
+        argv += ["--rttm", args.rttm]
+    if args.model:
+        argv += ["--model", args.model]
+    evaluate.main(argv)
+
+
 def run_check_tpu(args):
     """Device probe + matmul microbenchmark (reference check_gpu.py)."""
     import time
@@ -265,6 +279,15 @@ def main(argv=None):
     s = sub.add_parser("models", help="model registry")
     s.add_argument("action", choices=["check", "list", "download"])
     s.set_defaults(fn=run_models)
+
+    s = sub.add_parser("eval", help="WER/DER accuracy gates over a fixture dir")
+    s.add_argument("--audio", required=True)
+    s.add_argument("--ref", default=None, help="dir of <stem>.txt transcripts")
+    s.add_argument("--rttm", default=None, help="dir of <stem>.rttm files")
+    s.add_argument("--model", default=None)
+    s.add_argument("--num-speakers", type=int, default=0)
+    s.add_argument("--collar", type=float, default=0.25)
+    s.set_defaults(fn=run_eval)
 
     s = sub.add_parser("check-tpu", help="device probe + matmul benchmark")
     s.set_defaults(fn=run_check_tpu)

@@ -254,7 +254,14 @@ class SecurityMonitor:
         """JSON + human-readable txt (reference :334-349)."""
         os.makedirs(self.output_dir, exist_ok=True)
         stamp = time.strftime("%Y%m%d_%H%M%S")
+        # second-resolution stamps collide when a directory batch yields
+        # several incidents in one second (reference has the same flaw;
+        # SURVEY §7.4 says fix, not port) — uniquify with a counter
         base = os.path.join(self.output_dir, f"incident_{stamp}")
+        n = 0
+        while os.path.exists(base + ".json"):
+            n += 1
+            base = os.path.join(self.output_dir, f"incident_{stamp}_{n}")
         json_path, txt_path = base + ".json", base + ".txt"
         with open(json_path, "w") as f:
             json.dump(incident.to_dict(), f, indent=2)

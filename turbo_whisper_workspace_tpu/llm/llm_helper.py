@@ -199,10 +199,33 @@ def generate_text(prompt: str, max_tokens: int = 256, temperature: float = 0.1,
 # JSON repair ladder (legacy llm_helper.py:528-561)
 
 def _extract_json(text: str):
-    m = re.search(r"\{[^{}]*\}", text, re.DOTALL)
-    if not m:
+    # brace-balanced scan from the first '{' — survives nested objects,
+    # which the old \{[^{}]*\} regex could not
+    start = text.find("{")
+    if start < 0:
         return None
-    raw = m.group(0)
+    depth, end, in_str, esc = 0, -1, False, False
+    for i, ch in enumerate(text[start:], start):
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end < 0:
+        return None
+    raw = text[start : end + 1]
     for attempt in (
         raw,
         raw.replace("'", '"'),

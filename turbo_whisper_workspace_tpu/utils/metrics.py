@@ -47,14 +47,23 @@ def _levenshtein(ref: list, hyp: list) -> int:
 
 def wer(reference: str, hypothesis: str, normalize: bool = True) -> float:
     """Word error rate (edits / reference words)."""
+    edits, n_ref = wer_counts(reference, hypothesis, normalize)
+    if n_ref == 0:
+        return 0.0 if edits == 0 else 1.0
+    return edits / n_ref
+
+
+def wer_counts(reference: str, hypothesis: str,
+               normalize: bool = True) -> tuple[int, int]:
+    """(edit count, reference word count) — summable across a corpus so
+    corpus WER = Σedits / Σref_words (the standard protocol), instead of
+    an average of per-utterance rates."""
     if normalize:
         reference = normalize_text(reference)
         hypothesis = normalize_text(hypothesis)
     ref_words = reference.split()
     hyp_words = hypothesis.split()
-    if not ref_words:
-        return 0.0 if not hyp_words else 1.0
-    return _levenshtein(ref_words, hyp_words) / len(ref_words)
+    return _levenshtein(ref_words, hyp_words), len(ref_words)
 
 
 def _frame_labels(segments, n_frames: int, frame_s: float,
