@@ -60,6 +60,10 @@ class DiarizationConfig:
     window_s: float = 10.0            # segmentation sliding window
     step_s: float = 1.0
     max_speakers: int = 10            # auto-estimate cap (diar.py:172-176)
+    # device-batch caps for the bucketed segmentation-window / embedding-
+    # crop forwards (power-of-two bucketing keeps compiled shapes O(log))
+    seg_batch: int = 128
+    emb_batch: int = 128
 
 
 @dataclass

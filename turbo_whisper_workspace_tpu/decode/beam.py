@@ -42,13 +42,6 @@ class BeamResult(NamedTuple):
     all_scores: jax.Array      # (B, K)
 
 
-def _tile_beams(tree, k: int):
-    """(L, B, ...) → (L, B*K, ...) by repeating each batch row K times."""
-    return jax.tree.map(
-        lambda x: jnp.repeat(x, k, axis=1), tree
-    )
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "rules", "beam_size", "max_len", "sot_index"),
@@ -71,21 +64,25 @@ def beam_decode_features(
     total = p + max_len
     assert total <= dims.n_text_ctx
 
-    cross_kv = _tile_beams(cross_kv, k)
-    cache = wm.init_kv_cache(
-        dims, bk, max_len=total, dtype=params["decoder"]["token_emb"].dtype
-    )
+    # Cross-KV is NOT tiled across beams: the decoder reads ONE copy per
+    # batch row and feeds K query rows through it (decoder_forward
+    # beam=k) — beam-tiling it K× was the dominant decode-step traffic.
+    dtype = params["decoder"]["token_emb"].dtype
     static_mask = rules.static_mask()
     begin_mask = rules.begin_mask()
 
-    prompt_bk = jnp.repeat(prompt, k, axis=0)
-    prefill_logits, cache = wm.decoder_forward(
-        params, dims, prompt_bk, cross_kv, cache, pos=0
+    # Prefill once at B rows (every beam shares the prompt), then tile
+    # the self-KV cache to B·K.
+    cache_b = wm.init_kv_cache(dims, b, max_len=total, dtype=dtype)
+    prefill_logits, cache_b = wm.decoder_forward(
+        params, dims, prompt, cross_kv, cache_b, pos=0
     )
+    cache = jax.tree.map(lambda x: jnp.repeat(x, k, axis=1), cache_b)
     no_speech_probs = jax.nn.softmax(
         prefill_logits[:, sot_index].astype(jnp.float32), axis=-1
-    )[:, sp.no_speech].reshape(b, k)[:, 0]
+    )[:, sp.no_speech]
 
+    prompt_bk = jnp.repeat(prompt, k, axis=0)
     tokens0 = jnp.concatenate(
         [prompt_bk, jnp.full((bk, max_len), sp.eot, jnp.int32)], axis=1
     ).reshape(b, k, total)
@@ -118,7 +115,9 @@ def beam_decode_features(
         alive_tokens=tokens0,
         alive_scores=alive_scores,
         cache=cache,
-        last_logits=prefill_logits[:, -1].astype(jnp.float32),
+        last_logits=jnp.repeat(
+            prefill_logits[:, -1].astype(jnp.float32), k, axis=0
+        ),
         last_tok=non_ts,
         penult_tok=ts_sent,
         ts_floor=jnp.full((bk,), sp.timestamp_begin, jnp.int32),
@@ -202,7 +201,8 @@ def beam_decode_features(
         new_penult = jnp.where(c.step == 0, ts_sent, last_tok_g)
 
         logits, cache = wm.decoder_forward(
-            params, dims, next_tok[:, None], cross_kv, cache, pos=pos
+            params, dims, next_tok[:, None], cross_kv, cache, pos=pos,
+            beam=k,
         )
         return Carry(
             step=c.step + 1,

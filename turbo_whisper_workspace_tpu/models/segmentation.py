@@ -105,3 +105,14 @@ def powerset_to_activity(logits: np.ndarray) -> np.ndarray:
         for m in members:
             act[mask, m] = True
     return act
+
+
+def powerset_speech_prob(logits: np.ndarray) -> np.ndarray:
+    """(B, T, n_classes) → (B, T) P(any speaker active) = 1 - P(∅).
+
+    Soft per-frame speech probability so overlapping sliding windows can
+    be averaged (pyannote's overlap aggregation) before thresholding."""
+    x = logits - logits.max(-1, keepdims=True)
+    p = np.exp(x)
+    p /= p.sum(-1, keepdims=True)
+    return 1.0 - p[..., 0]

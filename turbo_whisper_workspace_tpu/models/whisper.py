@@ -372,12 +372,19 @@ def decoder_forward(
     cross_kv: Params,
     kv_cache: Params | None = None,
     pos: jax.Array | int = 0,
+    beam: int = 1,
 ):
     """Decoder forward.
 
     tokens (B, T): full-sequence (prefill / teacher-forcing) when
     kv_cache covers positions [pos, pos+T); incremental when T == 1.
     Returns (logits (B, T, vocab), updated kv_cache).
+
+    beam > 1 (static): tokens/kv_cache carry B·K flattened beam rows
+    (B-major: row = b*K + k) while cross_kv stays at batch B — every
+    decode step reads ONE cross-KV copy per batch element and feeds K
+    query rows through it, instead of physically tiling the (dominant)
+    int8 cross-KV traffic K×. Requires T == 1 (single-step decode).
     """
     dec = params["decoder"]
     dtype = dec["token_emb"].dtype
@@ -431,7 +438,15 @@ def decoder_forward(
         h = layer_norm(x, block["cross_ln"])
         cq = linear(h, block["cross"]["q"])
         bq, tq, dd = cq.shape
-        qh = cq.reshape(bq, tq, n_head, dd // n_head).transpose(0, 2, 1, 3)
+        if beam > 1:
+            # (B*K, 1, D) → (B, H, K, Dh): beams ride the query-seq axis
+            # so K rows share one cross-KV read (and deepen the skinny
+            # tq=1 MXU shape for free)
+            assert tq == 1, "beam-shared cross-attention is single-step"
+            qh = cq.reshape(bq // beam, beam, n_head, dd // n_head)
+            qh = qh.transpose(0, 2, 1, 3)
+        else:
+            qh = cq.reshape(bq, tq, n_head, dd // n_head).transpose(0, 2, 1, 3)
         if "k_q" in ckv:  # int8 K/V via the Pallas kernel
             mode = _pallas_mode()
             if mode == "off":
@@ -460,6 +475,7 @@ def decoder_forward(
             ) * ((dd // n_head) ** -0.5)
             cw = jax.nn.softmax(clogits, axis=-1).astype(cq.dtype)
             cattn = jnp.einsum("bhqk,bhkd->bhqd", cw, cv_h)
+        # beam>1: (B, H, K, Dh) → (B·K, 1, D); else (B, H, T, Dh) → (B, T, D)
         cattn = cattn.transpose(0, 2, 1, 3).reshape(bq, tq, dd)
         x = x + linear(cattn, block["cross"]["out"])
         x = _mlp_block(x, block)

@@ -109,13 +109,15 @@ def _cross_int8_kernel(q_ref, kq_ref, vq_ref, ks_ref, vs_ref, o_ref,
                        *, seq_len: int, scale: float):
     """Decode-time cross-attention over int8 K/V for ONE batch element.
 
-    Blocks: q (H, 1, Dh) bf16; kq/vq (H, Dh, Tpad) int8 (transposed so
-    the int8 lane dim is T, a 128-multiple); ks/vs (H, 1) f32 per-head
-    scales. Scales are scalars per head, so they commute out of the
-    matmuls: K's into q, V's onto the output — the int8 payload is only
-    ever cast, never multiplied elementwise.
+    Blocks: q (H, Tq, Dh) bf16 — Tq is 1 for greedy decode and the beam
+    width for beam search (all K beams of a batch row share ONE KV read);
+    kq/vq (H, Dh, Tpad) int8 (transposed so the int8 lane dim is T, a
+    128-multiple); ks/vs (H, 1) f32 per-head scales. Scales are scalars
+    per head, so they commute out of the matmuls: K's into q, V's onto
+    the output — the int8 payload is only ever cast, never multiplied
+    elementwise.
     """
-    q = q_ref[0].astype(jnp.float32)               # (H, 1, Dh)
+    q = q_ref[0].astype(jnp.float32)               # (H, Tq, Dh)
     kq = kq_ref[0].astype(jnp.bfloat16)            # (H, Dh, Tpad)
     vq = vq_ref[0].astype(jnp.bfloat16)
     ks = ks_ref[0]                                 # (H, 1)
@@ -124,7 +126,7 @@ def _cross_int8_kernel(q_ref, kq_ref, vq_ref, ks_ref, vs_ref, o_ref,
     scores = jax.lax.dot_general(
         qs, kq, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                              # (H, 1, Tpad)
+    )                                              # (H, Tq, Tpad)
     if seq_len < kq.shape[-1]:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
         scores = jnp.where(col < seq_len, scores, NEG_INF)
@@ -134,13 +136,13 @@ def _cross_int8_kernel(q_ref, kq_ref, vq_ref, ks_ref, vs_ref, o_ref,
     out = jax.lax.dot_general(
         w.astype(jnp.bfloat16), vq, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                              # (H, 1, Dh)
+    )                                              # (H, Tq, Dh)
     o_ref[0] = (out * vs[:, :, None]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("seq_len", "interpret"))
 def cross_attention_int8(
-    q: jax.Array,        # (B, H, 1, Dh) activation dtype
+    q: jax.Array,        # (B, H, Tq, Dh) activation dtype (Tq = 1 or beam K)
     kq: jax.Array,       # (B, H, Dh, Tpad) int8
     vq: jax.Array,       # (B, H, Dh, Tpad) int8
     k_scale: jax.Array,  # (B, H) f32
@@ -148,8 +150,8 @@ def cross_attention_int8(
     seq_len: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Single-step cross-attention reading quantized K/V (half the HBM
-    traffic of bf16 — the dominant decode-step cost). Returns (B, H, 1, Dh)."""
+    """Decode-step cross-attention reading quantized K/V (half the HBM
+    traffic of bf16 — the dominant decode-step cost). Returns (B, H, Tq, Dh)."""
     import math
 
     b, h, one, dh = q.shape
@@ -177,9 +179,9 @@ def cross_attention_int8(
                                    memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * tpad * dh,
-            bytes_accessed=2 * b * h * dh * tpad + 2 * b * h * dh * 2,
-            transcendentals=b * h * tpad,
+            flops=4 * b * h * one * tpad * dh,
+            bytes_accessed=2 * b * h * dh * tpad + 2 * b * h * one * dh * 2,
+            transcendentals=b * h * one * tpad,
         ),
         interpret=interpret,
     )(q, kq, vq, k_scale[..., None], v_scale[..., None])

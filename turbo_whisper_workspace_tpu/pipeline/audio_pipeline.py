@@ -213,17 +213,16 @@ class AudioProcessingPipeline:
         asr = transcriber.transcribe(audios, initial_prompt=initial_prompt)
         t_transcribe = time.time() - t0
 
-        # 2) diarization
+        # 2) diarization — one batched call: all files' segmentation
+        # windows and embedding crops share bucketed device batches
         t0 = time.time()
         diarizer = self.load_diarizer()
-        diar_all = []
-        for audio in audios:
-            n = num_speakers
-            if n == 0:
-                n = diarizer.estimate_num_speakers(audio)
-            segs = diarizer.process_audio(audio, num_speakers=n,
-                                          threshold=threshold)
-            diar_all.append([s.to_dict() for s in segs])
+        diar_all = [
+            [s.to_dict() for s in segs]
+            for segs in diarizer.process_batch(
+                audios, num_speakers=num_speakers, threshold=threshold
+            )
+        ]
         t_diarize = time.time() - t0
 
         # 3) merge + 4-6) enrich, per file

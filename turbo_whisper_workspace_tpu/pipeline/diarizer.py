@@ -110,85 +110,178 @@ class SpeakerDiarizer:
         self.emb_params = emb_params
         self.emb_dims = emb_dims or emb_mod.EmbeddingDims()
 
-    # -- embeddings -------------------------------------------------------
-    def _embed_crops(self, crop_mels: np.ndarray) -> np.ndarray:
-        if self.emb_params is not None:
-            return np.asarray(
-                _emb_forward(self.emb_params, self.emb_dims, jnp.asarray(crop_mels))
-            )
-        return emb_mod.spectral_embedding(crop_mels)
+    # -- bucketed device batches -------------------------------------------
+    @staticmethod
+    def _bucket_spans(n: int, max_batch: int):
+        """Fixed power-of-two batch sizes (same discipline as the ASR
+        window batching, transcriber.py) so every device forward reuses
+        one of O(log max_batch) compiled shapes regardless of file count
+        or speech content."""
+        bsz = min(max_batch, 1 << max(n - 1, 0).bit_length()) if n else 0
+        return [(lo, min(lo + bsz, n), bsz) for lo in range(0, n, bsz)]
+
+    def _embed_crops(self, crops: np.ndarray) -> np.ndarray:
+        """(N, crop_samples) waveform crops → (N, emb_dim) embeddings,
+        mel + forward bucketed to stable shapes."""
+        out = []
+        for lo, hi, bsz in self._bucket_spans(len(crops), self.config.emb_batch):
+            batch = crops[lo:hi]
+            if hi - lo < bsz:
+                batch = np.concatenate(
+                    [batch, np.zeros((bsz - (hi - lo), crops.shape[1]),
+                                     np.float32)]
+                )
+            mels = np.asarray(mel_ops.log_mel_spectrogram(
+                jnp.asarray(batch), num_mels=80
+            ))[:, :, : self.emb_dims.crop_frames]
+            if self.emb_params is not None:
+                embs = np.asarray(_emb_forward(
+                    self.emb_params, self.emb_dims, jnp.asarray(mels)
+                ))
+            else:
+                embs = emb_mod.spectral_embedding(mels)
+            out.append(embs[: hi - lo])
+        return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
 
     # -- frame activity ---------------------------------------------------
-    def _frame_activity(self, audio: np.ndarray) -> np.ndarray:
-        """(T_frames,) speech mask at FRAME_HZ. Neural windows when
-        segmentation weights exist, energy VAD otherwise."""
+    def _seg_window_starts(self, n_samples: int) -> list[int]:
+        """Sliding-window starts (window_s / step_s, pyannote semantics —
+        reference config at vocalis/core/model.py:432-475)."""
+        win = int(self.config.window_s * SR)
+        step = int(self.config.step_s * SR)
+        return list(range(0, max(n_samples - win, 0) + 1, step))
+
+    def _frame_activity_batch(self, audios: Sequence[np.ndarray]) -> list[np.ndarray]:
+        """Per-file (T_frames,) speech masks at FRAME_HZ.
+
+        Neural path: ALL files' sliding segmentation windows flatten into
+        power-of-two-bucketed device batches through one jitted forward;
+        overlapping windows vote by averaging per-frame any-speech
+        probability (pyannote's overlap aggregation). Energy VAD
+        otherwise (host-side, no tracing)."""
         if self.seg_params is None:
-            return energy_vad(audio)
-        win = int(seg_mod.WINDOW_S * SR)
-        n_win = max(1, int(np.ceil(len(audio) / win)))
-        padded = np.zeros(n_win * win, np.float32)
-        padded[: len(audio)] = audio
-        windows = padded.reshape(n_win, win)
-        mels = np.asarray(
-            mel_ops.log_mel_spectrogram(
+            return [energy_vad(a) for a in audios]
+
+        win = int(self.config.window_s * SR)
+        frames_per_win = seg_mod.FRAMES_PER_WINDOW
+        plans: list[tuple[int, int]] = []           # (file_index, start)
+        for fi, a in enumerate(audios):
+            plans.extend((fi, t) for t in self._seg_window_starts(len(a)))
+
+        n = len(plans)
+        totals = [int(len(a) / SR * FRAME_HZ) for a in audios]
+        prob_sum = [np.zeros(t, np.float64) for t in totals]
+        prob_cnt = [np.zeros(t, np.int32) for t in totals]
+        for lo, hi, bsz in self._bucket_spans(n, self.config.seg_batch):
+            windows = np.zeros((bsz, win), np.float32)
+            for row, (fi, t) in enumerate(plans[lo:hi]):
+                chunk = audios[fi][t : t + win]
+                windows[row, : len(chunk)] = chunk
+            mels = mel_ops.log_mel_spectrogram(
                 jnp.asarray(windows), num_mels=self.seg_dims.n_mels
-            )
-        )[:, :, : self.seg_dims.window_frames]
-        logits = np.asarray(_seg_forward(self.seg_params, self.seg_dims,
-                                         jnp.asarray(mels)))
-        act = seg_mod.powerset_to_activity(logits)    # (n_win, T, 3)
-        any_speech = act.any(-1).reshape(-1)
-        total = int(len(audio) / SR * FRAME_HZ)
-        return any_speech[:total]
+            )[:, :, : self.seg_dims.window_frames]
+            logits = np.asarray(_seg_forward(self.seg_params, self.seg_dims,
+                                             mels))
+            speech_p = seg_mod.powerset_speech_prob(logits)  # (bsz, T_out)
+            for row, (fi, t) in enumerate(plans[lo:hi]):
+                f0 = int(t / SR * FRAME_HZ)
+                f1 = min(f0 + frames_per_win, totals[fi])
+                prob_sum[fi][f0:f1] += speech_p[row, : f1 - f0]
+                prob_cnt[fi][f0:f1] += 1
+
+        masks = []
+        for fi in range(len(audios)):
+            cnt = np.maximum(prob_cnt[fi], 1)
+            masks.append((prob_sum[fi] / cnt) > 0.5)
+        return masks
+
+    def _frame_activity(self, audio: np.ndarray) -> np.ndarray:
+        """(T_frames,) speech mask at FRAME_HZ (single-file convenience)."""
+        return self._frame_activity_batch([audio])[0]
 
     # -- main -------------------------------------------------------------
-    def process_audio(self, audio: np.ndarray, num_speakers: int = 0,
-                      threshold: float | None = None) -> list[DiarizationSegment]:
-        """Waveform (16 kHz mono) → speaker turns."""
-        cfg = self.config
-        threshold = threshold if threshold is not None else cfg.clustering_threshold
-        speech = self._frame_activity(audio)
-        if not speech.any():
-            return []
-
-        # 2 s crops (1 s step) over speech regions → embeddings
+    def _crop_starts(self, audio: np.ndarray, speech: np.ndarray) -> list[int]:
+        """2 s crop starts (1 s step) over speech regions. Only
+        mostly-speech crops embed cleanly; boundary crops that straddle
+        silence (or two speakers) dilute the clusters."""
         crop = int(CROP_S * SR)
         step = int(CROP_STEP_S * SR)
-        crop_starts = []
+        starts = []
         for t in range(0, max(len(audio) - crop, 0) + 1, step):
             f0, f1 = int(t / SR * FRAME_HZ), int((t + crop) / SR * FRAME_HZ)
             window_speech = speech[f0:max(f1, f0 + 1)]
-            # only mostly-speech crops embed cleanly; boundary crops that
-            # straddle silence (or two speakers) dilute the clusters
             if window_speech.size and window_speech.mean() >= 0.6:
-                crop_starts.append(t)
-        if not crop_starts:
-            return []
-        crops = np.stack([audio[t : t + crop] for t in crop_starts])
-        crop_mels = np.asarray(
-            mel_ops.log_mel_spectrogram(jnp.asarray(crops), num_mels=80)
-        )
-        embs = self._embed_crops(crop_mels)
+                starts.append(t)
+        return starts
 
-        labels = self._cluster(embs, num_speakers, threshold)
+    def process_audio(self, audio: np.ndarray, num_speakers: int = 0,
+                      threshold: float | None = None) -> list[DiarizationSegment]:
+        """Waveform (16 kHz mono) → speaker turns."""
+        return self.process_batch([audio], num_speakers=num_speakers,
+                                  threshold=threshold)[0]
 
-        # frame labels by nearest covering crop (majority of overlapping crops)
-        total_frames = len(speech)
-        votes = np.full((total_frames, int(labels.max()) + 1), 0, np.int32)
-        for t, lab in zip(crop_starts, labels):
-            f0 = int(t / SR * FRAME_HZ)
-            f1 = min(int((t + crop) / SR * FRAME_HZ), total_frames)
-            votes[f0:f1, lab] += 1
-        frame_label = np.where(
-            (votes.sum(-1) > 0) & speech, votes.argmax(-1), -1
-        )
+    def process_batch(
+        self,
+        audios: Sequence[np.ndarray],
+        num_speakers: int = 0,
+        threshold: float | None = None,
+    ) -> list[list[DiarizationSegment]]:
+        """Batched waveforms → per-file speaker turns.
 
-        turns = self._frames_to_turns(frame_label)
-        turns = self._smooth(turns)
-        return [
-            DiarizationSegment(start=s, end=e, speaker=f"Speaker {lab}")
-            for s, e, lab in turns
+        All files share the bucketed device batches: segmentation windows
+        flatten across files in `_frame_activity_batch`, embedding crops
+        flatten here — O(1) compiled shapes for any file count / speech
+        content, matching the reference's one-call diarizer boundary
+        (vocalis/core/diar.py:91-140) without its per-file C++ loop.
+        Clustering/turn assembly stay host-side (tiny, O(turns²))."""
+        cfg = self.config
+        threshold = threshold if threshold is not None else cfg.clustering_threshold
+        masks = self._frame_activity_batch(audios)
+
+        crop = int(CROP_S * SR)
+        starts_per_file = [
+            self._crop_starts(a, m) if m.any() else []
+            for a, m in zip(audios, masks)
         ]
+        all_crops = np.zeros((sum(map(len, starts_per_file)), crop), np.float32)
+        row = 0
+        for audio, starts in zip(audios, starts_per_file):
+            for t in starts:
+                chunk = audio[t : t + crop]
+                all_crops[row, : len(chunk)] = chunk
+                row += 1
+        embs_all = self._embed_crops(all_crops)
+
+        results: list[list[DiarizationSegment]] = []
+        lo = 0
+        for audio, speech, crop_starts in zip(audios, masks, starts_per_file):
+            if not crop_starts:
+                results.append([])
+                continue
+            embs = embs_all[lo : lo + len(crop_starts)]
+            lo += len(crop_starts)
+            n = num_speakers
+            if n == 0:
+                n = self.estimate_num_speakers(audio)
+            labels = self._cluster(embs, n, threshold)
+
+            # frame labels by covering-crop majority vote
+            total_frames = len(speech)
+            votes = np.full((total_frames, int(labels.max()) + 1), 0, np.int32)
+            for t, lab in zip(crop_starts, labels):
+                f0 = int(t / SR * FRAME_HZ)
+                f1 = min(int((t + crop) / SR * FRAME_HZ), total_frames)
+                votes[f0:f1, lab] += 1
+            frame_label = np.where(
+                (votes.sum(-1) > 0) & speech, votes.argmax(-1), -1
+            )
+
+            turns = self._smooth(self._frames_to_turns(frame_label))
+            results.append([
+                DiarizationSegment(start=s, end=e, speaker=f"Speaker {lab}")
+                for s, e, lab in turns
+            ])
+        return results
 
     def process_file(self, path: str, num_speakers: int = 0,
                      threshold: float | None = None) -> list[DiarizationSegment]:
