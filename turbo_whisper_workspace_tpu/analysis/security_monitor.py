@@ -130,12 +130,17 @@ class SecurityMonitor:
         return self._pipeline
 
     # -- audio entry ------------------------------------------------------
-    def process_audio_file(self, audio_path: str) -> SecurityIncident | None:
+    def process_audio_file(
+        self, audio_path: str, min_threat_level: int | None = None,
+    ) -> SecurityIncident | None:
         """Full pipeline (auto speaker count, reference :137-163) then
-        transcript analysis; returns an incident above threshold."""
+        transcript analysis; returns an incident above threshold.
+        min_threat_level overrides the monitor default per call (the
+        reference's SecurityRequest field, vocalis/api/main.py:56-58)."""
         result = self.pipeline.process_audio(audio_path, num_speakers=0)
         incident = self._analyze_transcript(
-            result.get("merged_segments", []), audio_path
+            result.get("merged_segments", []), audio_path,
+            min_threat_level=min_threat_level,
         )
         if incident is not None:
             self._save_incident_report(incident)
@@ -167,8 +172,13 @@ class SecurityMonitor:
             found += [m.group(0) for m in re.finditer(pat, text, re.IGNORECASE)]
         return found
 
-    def _analyze_transcript(self, segments, audio_file: str = "") -> SecurityIncident | None:
+    def _analyze_transcript(
+        self, segments, audio_file: str = "",
+        min_threat_level: int | None = None,
+    ) -> SecurityIncident | None:
         """Scan → score → classify → context → summarize (reference :165-221)."""
+        floor = (self.min_threat_level if min_threat_level is None
+                 else min_threat_level)
         text = " ".join(s.get("text", "") for s in segments)
         matches = {}
         for cat, patterns in self.pattern_banks.items():
@@ -176,7 +186,7 @@ class SecurityMonitor:
             if found:
                 matches[cat] = found
         level = self._calculate_threat_level(matches)
-        if level < self.min_threat_level:
+        if level < floor:
             return None
         incident = SecurityIncident(
             timestamp=time.strftime("%Y-%m-%d %H:%M:%S"),

@@ -192,7 +192,11 @@ def save_params(path: str, params) -> None:
             for k, v in node.items():
                 visit(f"{prefix}/{k}" if prefix else k, v)
         else:
-            flat[prefix] = np.asarray(node)
+            arr = np.asarray(node)
+            # npz has no bfloat16: store as f32 (load_params re-casts)
+            if arr.dtype == jnp.bfloat16:
+                arr = arr.astype(np.float32)
+            flat[prefix] = arr
 
     visit("", params)
     np.savez(path, **flat)

@@ -111,10 +111,37 @@ class AudioProcessingPipeline:
         )
         return self._transcriber
 
-    def load_diarizer(self) -> SpeakerDiarizer:
-        if self._diarizer is None:
-            self._diarizer = SpeakerDiarizer(self.config.diarization)
-        return self._diarizer
+    def load_diarizer(
+        self,
+        segmentation_model: str | None = None,
+        embedding_model: str | None = None,
+    ) -> SpeakerDiarizer:
+        """Diarizer for the requested model pair, cached per (seg, emb).
+
+        The reference rebuilds its sherpa diarizer whenever the request
+        selects different models (vocalis/core/audio_pipeline.py:210-306,
+        keyed cache at vocalis/core/model.py:429-441); an injected
+        diarizer (tests) always wins."""
+        if self._diarizer is not None and segmentation_model is None \
+                and embedding_model is None:
+            return self._diarizer
+        cfg = self.config.diarization
+        seg = segmentation_model or cfg.segmentation_model
+        emb = embedding_model or cfg.embedding_model
+        if self._diarizer is not None:
+            # injected diarizer requested with explicit models: honor the
+            # injection only when the names match what it was built for
+            if (getattr(self._diarizer, "segmentation_model", seg) == seg
+                    and getattr(self._diarizer, "embedding_model", emb) == emb):
+                return self._diarizer
+        key = (seg, emb)
+        cache = self.__dict__.setdefault("_diarizer_cache", {})
+        if key not in cache:
+            cache[key] = SpeakerDiarizer.from_names(
+                cfg, segmentation_model=seg, embedding_model=emb,
+                models_dir=self.config.models_dir,
+            )
+        return cache[key]
 
     # -- device introspection (reference _get_gpu_memory_info :124-169) --
     @staticmethod
@@ -145,10 +172,13 @@ class AudioProcessingPipeline:
         return t.transcribe([audio], initial_prompt=initial_prompt)[0]
 
     def diarize(self, audio_path: str, num_speakers: int = 2,
-                threshold: float | None = None) -> list[dict]:
+                threshold: float | None = None,
+                segmentation_model: str | None = None,
+                embedding_model: str | None = None) -> list[dict]:
         """Speaker turns (vocalis/core/audio_pipeline.py:371-430);
         num_speakers=0 → auto-estimate (`:393-397`)."""
-        d = self.load_diarizer()
+        d = self.load_diarizer(segmentation_model=segmentation_model,
+                               embedding_model=embedding_model)
         audio, _ = audio_io.read_audio_file(audio_path)
         if num_speakers == 0:
             num_speakers = d.estimate_num_speakers(audio)
@@ -185,6 +215,8 @@ class AudioProcessingPipeline:
         results = self.process_batch(
             [audio_path], task=task, num_speakers=num_speakers,
             threshold=threshold, enrich=enrich, initial_prompt=initial_prompt,
+            segmentation_model=segmentation_model,
+            embedding_model=embedding_model,
         )
         return results[0]
 
@@ -196,6 +228,8 @@ class AudioProcessingPipeline:
         threshold: float = 0.5,
         enrich: bool | None = None,
         initial_prompt: str | None = None,
+        segmentation_model: str | None = None,
+        embedding_model: str | None = None,
     ) -> list[dict]:
         """Batched master flow: all files' windows share one compiled
         transcription batch; diarization crops batch likewise."""
@@ -216,7 +250,10 @@ class AudioProcessingPipeline:
         # 2) diarization — one batched call: all files' segmentation
         # windows and embedding crops share bucketed device batches
         t0 = time.time()
-        diarizer = self.load_diarizer()
+        diarizer = self.load_diarizer(
+            segmentation_model=segmentation_model,
+            embedding_model=embedding_model,
+        )
         diar_all = [
             [s.to_dict() for s in segs]
             for segs in diarizer.process_batch(

@@ -103,12 +103,64 @@ class SpeakerDiarizer:
         seg_dims: seg_mod.SegmentationDims | None = None,
         emb_params=None,
         emb_dims: emb_mod.EmbeddingDims | None = None,
+        segmentation_model: str | None = None,
+        embedding_model: str | None = None,
     ):
         self.config = config or DiarizationConfig()
         self.seg_params = seg_params
         self.seg_dims = seg_dims or seg_mod.SegmentationDims()
         self.emb_params = emb_params
         self.emb_dims = emb_dims or emb_mod.EmbeddingDims()
+        # names of record (what /api/models advertises and requests select)
+        self.segmentation_model = segmentation_model or self.config.segmentation_model
+        self.embedding_model = embedding_model or self.config.embedding_model
+
+    @classmethod
+    def from_names(
+        cls,
+        config: DiarizationConfig | None = None,
+        segmentation_model: str | None = None,
+        embedding_model: str | None = None,
+        models_dir: str = "models",
+    ) -> "SpeakerDiarizer":
+        """Build a diarizer for named segmentation/embedding models.
+
+        The reference switches diarization models per request
+        (vocalis/api/main.py:49-54,110-117 → process_audio →
+        get_speaker_diarization at vocalis/core/model.py:432-475). Here
+        names resolve through the registry's local ladder to converted
+        .npz checkpoints; a name with no local checkpoint degrades to the
+        weight-free fallback tier (energy VAD + spectral embedding) —
+        the same degrade-and-continue the reference applies to missing
+        downloads (vocalis/core/model.py:257-426)."""
+        from ..models import convert
+        from ..utils import registry
+
+        config = config or DiarizationConfig()
+        seg_name = segmentation_model or config.segmentation_model
+        emb_name = embedding_model or config.embedding_model
+
+        def _load(name: str, kind: str):
+            path = registry.resolve_model_path(name, kind, models_dir=models_dir)
+            if path is None or not path.endswith(".npz"):
+                return None
+            try:
+                return convert.load_params(path, dtype=jnp.bfloat16)
+            except Exception as e:  # degrade, never crash
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "failed to load %s checkpoint %s: %s", kind, path, e
+                )
+                return None
+
+        return cls(
+            config,
+            seg_params=_load(seg_name, "seg"),
+            emb_params=_load(emb_name, "emb"),
+            segmentation_model=seg_name,
+            embedding_model=emb_name,
+        )
 
     # -- bucketed device batches -------------------------------------------
     @staticmethod

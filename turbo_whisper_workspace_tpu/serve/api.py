@@ -128,7 +128,9 @@ def route_models() -> dict:
 
 
 def route_transcribe(file_bytes: bytes, filename: str, form: dict) -> dict:
-    """POST /api/transcribe (vocalis/api/main.py:89-131)."""
+    """POST /api/transcribe (vocalis/api/main.py:89-131). Request-level
+    segmentation/embedding model selection reaches the diarizer, matching
+    the reference's TranscriptionRequest fields (`:49-54,110-117`)."""
     path = _save_upload_tmp(file_bytes, filename)
     try:
         return get_pipeline().process_audio(
@@ -136,17 +138,24 @@ def route_transcribe(file_bytes: bytes, filename: str, form: dict) -> dict:
             task=form.get("task", "transcribe"),
             num_speakers=int(form.get("num_speakers", 2)),
             threshold=float(form.get("threshold", 0.5)),
+            segmentation_model=form.get("segmentation_model") or None,
+            embedding_model=form.get("embedding_model") or None,
         )
     finally:
         os.unlink(path)
 
 
 def route_security(file_bytes: bytes, filename: str, form: dict) -> dict:
-    """POST /api/security/analyze (vocalis/api/main.py:133-173)."""
+    """POST /api/security/analyze (vocalis/api/main.py:133-173), honoring
+    the request's min_threat_level (`:56-58`)."""
     bar = str(form.get("bar_specific", "false")).lower() in ("1", "true", "yes")
+    mtl = form.get("min_threat_level")
+    mtl = int(mtl) if mtl not in (None, "") else None
     path = _save_upload_tmp(file_bytes, filename)
     try:
-        incident = get_monitor(bar).process_audio_file(path)
+        incident = get_monitor(bar).process_audio_file(
+            path, min_threat_level=mtl
+        )
         if incident is None:
             return {"incident_detected": False}
         return {"incident_detected": True, "incident": incident.to_dict()}
@@ -290,18 +299,24 @@ def create_fastapi_app():
     async def transcribe(file: UploadFile = File(...),
                          task: str = Form("transcribe"),
                          num_speakers: int = Form(2),
-                         threshold: float = Form(0.5)):
+                         threshold: float = Form(0.5),
+                         segmentation_model: str = Form(""),
+                         embedding_model: str = Form("")):
         data = await file.read()
         return route_transcribe(data, file.filename or "upload.wav", {
             "task": task, "num_speakers": num_speakers, "threshold": threshold,
+            "segmentation_model": segmentation_model,
+            "embedding_model": embedding_model,
         })
 
     @app.post("/api/security/analyze")
     async def security(file: UploadFile = File(...),
-                       bar_specific: bool = Form(False)):
+                       bar_specific: bool = Form(False),
+                       min_threat_level: int = Form(None)):
         data = await file.read()
         return route_security(data, file.filename or "upload.wav",
-                              {"bar_specific": bar_specific})
+                              {"bar_specific": bar_specific,
+                               "min_threat_level": min_threat_level})
 
     @app.post("/api/analyze")
     async def analyze(file: UploadFile = File(...)):

@@ -29,9 +29,17 @@ INDEX_HTML = """<!doctype html>
 </style></head><body>
 <h1>Turbo-Whisper Workspace (TPU)</h1>
 <div class="card">
- <input type="file" id="file" accept=".wav,.flac"/>
+ <input type="file" id="file" accept=".wav,.flac,.mp3"/>
  <label>speakers <input id="nspk" type="number" value="2" min="0" max="10"
         style="width:4em"/></label>
+ <label>task <select id="task"><option>transcribe</option>
+        <option>translate</option></select></label>
+ <label>segmentation <select id="segmodel"></select></label>
+ <label>embedding <select id="embmodel"></select></label>
+ <label>threshold <input id="thr" type="number" value="0.5" min="0" max="1"
+        step="0.05" style="width:4.5em"/></label>
+ <label>min threat <input id="mtl" type="number" value="2" min="1" max="5"
+        style="width:3em"/></label>
  <button onclick="transcribe()">Transcribe</button>
  <button onclick="analyze()">Analyze</button>
  <button onclick="security()">Security scan</button>
@@ -41,6 +49,18 @@ INDEX_HTML = """<!doctype html>
 <div class="card" id="meta"></div>
 <div class="card" id="plots"></div>
 <script>
+// populate model dropdowns from the registry (reference UI's live
+// dropdowns, vocalis/ui/app.py:557-573)
+(async function(){
+  try{
+    const r = await fetch('/api/models'); const m = await r.json();
+    const seg = document.getElementById('segmodel');
+    for(const s of m.segmentation_models||[]) seg.add(new Option(s, s));
+    const emb = document.getElementById('embmodel');
+    for(const fam of Object.values(m.embedding_models||{}))
+      for(const e of fam) emb.add(new Option(e, e));
+  }catch(e){}
+})();
 async function post(url, extra){
   const f = document.getElementById('file').files[0];
   if(!f){ alert('choose a file'); return null; }
@@ -52,8 +72,13 @@ async function post(url, extra){
   return await r.json();
 }
 async function transcribe(){
-  const n = document.getElementById('nspk').value;
-  const res = await post('/api/transcribe', {num_speakers:n});
+  const res = await post('/api/transcribe', {
+    num_speakers: document.getElementById('nspk').value,
+    task: document.getElementById('task').value,
+    segmentation_model: document.getElementById('segmodel').value,
+    embedding_model: document.getElementById('embmodel').value,
+    threshold: document.getElementById('thr').value,
+  });
   if(!res) return;
   const conv = document.getElementById('conv'); conv.innerHTML='';
   const speakers = [...new Set((res.merged_segments||[]).map(s=>s.speaker))];
@@ -82,7 +107,8 @@ async function analyze(){
     JSON.stringify(res.audio_info, null, 1);
 }
 async function security(){
-  const res = await post('/api/security/analyze');
+  const res = await post('/api/security/analyze',
+    {min_threat_level: document.getElementById('mtl').value});
   if(!res) return;
   document.getElementById('meta').textContent = res.incident_detected ?
     JSON.stringify(res.incident, null, 1) : 'no incident detected';
@@ -114,9 +140,16 @@ def run_gradio_ui(host: str = "0.0.0.0", port: int = 7860) -> None:
 
     from .api import get_pipeline, route_analyze
 
-    def process_chat(audio_path, num_speakers):
-        res = get_pipeline().process_audio(audio_path,
-                                           num_speakers=int(num_speakers))
+    from ..utils.registry import embedding2models, speaker_segmentation_models
+
+    def process_chat(audio_path, task, seg_model, emb_model, num_speakers,
+                     threshold):
+        res = get_pipeline().process_audio(
+            audio_path, task=task, num_speakers=int(num_speakers),
+            threshold=float(threshold),
+            segmentation_model=seg_model or None,
+            embedding_model=emb_model or None,
+        )
         from ..pipeline.diarizer import SpeakerDiarizer
 
         conv = SpeakerDiarizer.format_as_conversation(res["merged_segments"])
@@ -125,16 +158,27 @@ def run_gradio_ui(host: str = "0.0.0.0", port: int = 7860) -> None:
         perf = f"realtime factor: {rf:.2f}x"
         return conv, res.get("summary", ""), ", ".join(res.get("topics", [])), perf
 
+    seg_choices = speaker_segmentation_models()
+    emb_choices = [m for fam in embedding2models().values() for m in fam]
     with gr.Blocks(title="Turbo-Whisper TPU") as demo:
         with gr.Tab("Chat"):
             audio = gr.Audio(type="filepath")
+            task = gr.Dropdown(["transcribe", "translate"], value="transcribe",
+                               label="task")
+            seg = gr.Dropdown(seg_choices, value=seg_choices[0],
+                              label="segmentation model")
+            emb = gr.Dropdown(emb_choices, value=emb_choices[0],
+                              label="embedding model")
             n = gr.Slider(0, 10, value=2, step=1, label="speakers (0=auto)")
+            thr = gr.Slider(0.0, 1.0, value=0.5, step=0.05,
+                            label="clustering threshold")
             btn = gr.Button("Transcribe")
             conv = gr.Markdown()
             summary = gr.Markdown(label="summary")
             topics = gr.Markdown(label="topics")
             perf = gr.Markdown()
-            btn.click(process_chat, [audio, n], [conv, summary, topics, perf])
+            btn.click(process_chat, [audio, task, seg, emb, n, thr],
+                      [conv, summary, topics, perf])
         with gr.Tab("Analysis"):
             audio2 = gr.Audio(type="filepath")
             btn2 = gr.Button("Analyze")

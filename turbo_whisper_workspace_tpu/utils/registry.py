@@ -75,14 +75,17 @@ def get_local_embedding_models() -> list[str]:
                    ("eres2net", "campplus", "titanet", "ecapa", "embed"))]
 
 
-def resolve_model_path(name: str, kind: str = "whisper") -> str | None:
+def resolve_model_path(name: str, kind: str = "whisper",
+                       models_dir: str | None = None) -> str | None:
     """Local resolution ladder (model.py:237-252 semantics): exact path →
     models/<name> dir → models/<kind>-<name>.npz → None."""
+    base = models_dir or MODELS_DIR
     candidates = [
         name,
-        os.path.join(MODELS_DIR, name),
-        os.path.join(MODELS_DIR, f"{kind}-{name}"),
-        os.path.join(MODELS_DIR, f"{kind}-{name}.npz"),
+        os.path.join(base, name),
+        os.path.join(base, f"{kind}-{name}"),
+        os.path.join(base, f"{kind}-{name}.npz"),
+        os.path.join(base, f"{name}.npz"),
     ]
     for c in candidates:
         if os.path.exists(c):
