@@ -83,6 +83,40 @@ def test_dp_decode_quantized_kv(setup):
     assert np.all(np.isfinite(np.asarray(out.avg_logprobs)))
 
 
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 4)])
+def test_tp_decode_matches_single_device(setup, dp, tp):
+    """Model-axis (Megatron TP) sharded decode reproduces the replicated
+    decode (SURVEY §7.3 item 7: heads-sharded KV decode path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dims, params, rules, audio, prompt = setup
+    kw = dict(rules=rules, max_len=10)
+
+    ref_fn = infer.make_dp_decode(dims, _mesh(1), **kw)
+    ref = ref_fn(params, jnp.asarray(audio), jnp.asarray(prompt))
+
+    devs = jax.devices()[: dp * tp]
+    mesh = Mesh(np.asarray(devs).reshape(dp, tp), (DATA_AXIS, "model"))
+    fn = infer.make_tp_decode(params, dims, mesh, **kw)
+    from turbo_whisper_workspace_tpu.parallel.sharding import shard_params
+
+    params_sh = shard_params(params, mesh)
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    out = fn(
+        params_sh,
+        jax.device_put(jnp.asarray(audio), data_sh),
+        jax.device_put(jnp.asarray(prompt), data_sh),
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    np.testing.assert_allclose(
+        np.asarray(out.avg_logprobs), np.asarray(ref.avg_logprobs),
+        atol=2e-3, rtol=2e-3,
+    )
+    # params really live column/row-sharded over the model axis
+    qw = params_sh["decoder"]["blocks"]["attn"]["q"]["w"]
+    assert len(qw.sharding.device_set) == dp * tp
+
+
 def test_dp_batch_not_divisible_raises(setup):
     dims, params, rules, audio, prompt = setup
     mesh = _mesh(8)
@@ -106,3 +140,32 @@ def test_measure_scaling_runs(setup):
     assert set(rep["audio_s_per_s"]) == {1, 2}
     assert all(v > 0 for v in rep["audio_s_per_s"].values())
     assert 2 in rep["efficiency_vs_linear"]
+    # the analytic argument rides along (BASELINE ≥85% gate)
+    assert rep["analytic"]["total_collectives"] == 0
+    assert rep["analytic"]["ici_bytes_per_step"] == 0
+
+
+def test_dp_decode_has_zero_collectives(setup):
+    """The scaling gate's structural evidence: the compiled DP-sharded
+    decode contains no collective ops — zero ICI bytes per step."""
+    dims, params, rules, *_ = setup
+    rep = infer.dp_collective_report(dims, _mesh(8), rules=rules, max_len=4)
+    assert rep["total_collectives"] == 0
+    assert rep["ici_bytes_per_step"] == 0
+    assert "embarrassingly parallel" in rep["claim"]
+
+
+def test_tp_decode_has_collectives(setup):
+    """Contrast case proving the counter sees real collectives: the
+    Megatron row-parallel psum must appear in the TP-sharded module."""
+    dims, params, rules, audio, prompt = setup
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.asarray(devs).reshape(1, 2), (DATA_AXIS, "model"))
+    fn = infer.make_tp_decode(params, dims, mesh, rules=rules, max_len=4)
+    from turbo_whisper_workspace_tpu.parallel.sharding import shard_params
+
+    params_sh = shard_params(params, mesh)
+    counts = infer.count_collectives(
+        fn.lower(params_sh, jnp.asarray(audio), jnp.asarray(prompt))
+    )
+    assert sum(counts.values()) > 0

@@ -39,6 +39,10 @@ class TranscriptionConfig:
     # sequence, mirroring the reference's retry ladder which passes
     # initial_prompt to the HF pipeline (dynamic_bar_audio.py:513-525).
     initial_prompt: str | None = None
+    # VAD-gated chunk planning: all-silent 30 s windows are dropped from
+    # the decode batch before batching (BASELINE config #2, "batched
+    # greedy + VAD chunking"); at least one window per file survives
+    vad_filter: bool = True
     dtype: str = "bfloat16"
     # int8 cross-attention K/V: halves the dominant decode-step HBM read
     # (-33% decode time measured); per-head symmetric quantization with

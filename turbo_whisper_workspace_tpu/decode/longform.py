@@ -74,6 +74,34 @@ def plan_chunks(
     ]
 
 
+def gate_plans_by_vad(
+    plans: list[ChunkPlan],
+    speech_mask: np.ndarray,
+    frame_hz: float = 10.0,
+    chunk_s: float = 30.0,
+) -> list[ChunkPlan]:
+    """Drop windows whose span contains no speech frames (BASELINE
+    config #2's 'batched greedy + VAD chunking'; the reference gets VAD
+    only as a post-hoc no-speech filter via the HF pipeline, while its
+    diagnostics VAD is never wired to the decode plan —
+    audio_diagnostics.py:109-111).
+
+    Keeps at least one window per file so every file yields a result
+    row, and never drops the plan partition's integrity: a dropped
+    window's core interval is silent, so no segments are lost.
+    """
+    if len(plans) <= 1:
+        return plans
+    kept = []
+    n = len(speech_mask)
+    for p in plans:
+        f0 = int(p.start_s * frame_hz)
+        f1 = min(int((p.start_s + chunk_s) * frame_hz), n)
+        if f1 <= f0 or speech_mask[f0:f1].any():
+            kept.append(p)
+    return kept or plans[:1]
+
+
 def slice_chunk(
     audio: np.ndarray, plan: ChunkPlan, n_samples: int = N_SAMPLES
 ) -> np.ndarray:

@@ -84,9 +84,12 @@ def energy_vad(audio: np.ndarray, frame_hz: float = FRAME_HZ,
     n = len(audio) // frame
     if n == 0:
         return np.zeros(0, bool)
+    peak = float(np.abs(audio).max())
+    if peak < 1e-6:  # digital silence: peak-relative dB is meaningless
+        return np.zeros(n, bool)
     frames = audio[: n * frame].reshape(n, frame)
     rms = np.sqrt((frames**2).mean(-1) + 1e-12)
-    db = 20 * np.log10(rms / (np.abs(audio).max() + 1e-9) + 1e-12)
+    db = 20 * np.log10(rms / peak + 1e-12)
     return db > threshold_db
 
 

@@ -186,12 +186,19 @@ class Transcriber:
 
         plans: list[longform.ChunkPlan] = []
         for fi, audio in enumerate(audios):
-            plans.extend(
-                longform.plan_chunks(
-                    len(audio), fi, chunk_s=cfg.chunk_length_s,
-                    stride_s=cfg.stride_length_s,
-                )
+            f_plans = longform.plan_chunks(
+                len(audio), fi, chunk_s=cfg.chunk_length_s,
+                stride_s=cfg.stride_length_s,
             )
+            if cfg.vad_filter and len(f_plans) > 1:
+                from .diarizer import FRAME_HZ, energy_vad
+
+                f_plans = longform.gate_plans_by_vad(
+                    f_plans, energy_vad(audio), frame_hz=FRAME_HZ,
+                    chunk_s=cfg.chunk_length_s,
+                )
+            plans.extend(f_plans)
+        self.last_n_windows = len(plans)  # observability (tests/bench)
         windows = np.stack(
             [longform.slice_chunk(audios[p.file_index], p) for p in plans]
         )
