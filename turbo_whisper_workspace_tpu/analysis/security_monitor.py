@@ -146,7 +146,7 @@ class SecurityMonitor:
             self._save_incident_report(incident)
         return incident
 
-    def monitor_directory(self, directory: str, extensions=(".wav", ".flac")):
+    def monitor_directory(self, directory: str, extensions=(".wav", ".flac", ".mp3")):
         """Directory batch → incidents. Files are transcribed as ONE
         batched pipeline call (vs the reference's serial loop :371-381)."""
         files = sorted(

@@ -6,10 +6,12 @@ to 0.1 s of silence on total failure (`:76`); duration probing;
 format conversion; dBFS gain normalization.
 
 TPU-native differences: decoding is first-party (native/flac_decoder.cpp
-via ctypes + stdlib WAV) instead of soundfile/librosa/pydub→ffmpeg, and
-resampling is a polyphase filter on host feeding fixed-shape float32
-batches to the device. FLAC decode is verified against the STREAMINFO
-MD5 of the unencoded PCM.
+and native/mp3_decoder.cpp via ctypes + stdlib WAV) instead of
+soundfile/librosa/pydub→ffmpeg, and resampling is a polyphase filter on
+host feeding fixed-shape float32 batches to the device. FLAC decode is
+verified against the STREAMINFO MD5 of the unencoded PCM; the MP3
+decoder is validated bit-faithfully against a reference decoder in
+tests/test_mp3.py.
 """
 
 from __future__ import annotations
@@ -110,6 +112,62 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# MP3 (native decoder)
+
+
+def _mp3_lib():
+    lib = load_native("mp3_decoder")
+    lib.mp3_info.restype = ctypes.c_long
+    lib.mp3_info.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.mp3_decode.restype = ctypes.c_long
+    lib.mp3_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+def mp3_stream_info(data: bytes) -> dict:
+    """Scan frame headers: {sample_rate, channels, total_samples} (the
+    sample count is the frame-grid upper bound, pre bit-reservoir warmup)."""
+    lib = _mp3_lib()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = lib.mp3_info(data, len(data), ctypes.byref(sr), ctypes.byref(ch))
+    if n < 0:
+        raise AudioDecodeError("not an MPEG Layer III stream")
+    return {"sample_rate": sr.value, "channels": ch.value, "total_samples": n}
+
+
+def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
+    """MP3 bytes → (float32 samples (n, ch) in [-1,1], sample_rate)."""
+    info = mp3_stream_info(data)
+    lib = _mp3_lib()
+    cap = info["total_samples"] + 2 * 1152
+    out = np.zeros(cap * info["channels"], np.float32)
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = lib.mp3_decode(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        ctypes.byref(sr), ctypes.byref(ch),
+    )
+    if n < 0:
+        raise AudioDecodeError("MP3 decode failed")
+    return out[: n * ch.value].reshape(-1, ch.value), sr.value
+
+
+def _looks_like_mp3(data: bytes) -> bool:
+    if data[:3] == b"ID3":
+        return True
+    return len(data) > 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+
+
+# ---------------------------------------------------------------------------
 # WAV (stdlib)
 
 
@@ -196,6 +254,9 @@ def read_audio_file(
         elif data[:4] == b"RIFF":
             samples, sr, bits = decode_wav(data)
             audio = _to_float_mono(samples, bits)
+        elif _looks_like_mp3(data):
+            samples, sr = decode_mp3(data)
+            audio = samples.mean(axis=1) if samples.ndim == 2 else samples
         else:
             raise AudioDecodeError(f"unrecognized container: {path}")
         audio = resample(audio, sr, target_sr)
@@ -222,6 +283,10 @@ def get_audio_duration(path: str) -> float:
         if head[:4] == b"RIFF":
             with wave.open(path) as w:
                 return w.getnframes() / w.getframerate()
+        if _looks_like_mp3(head):
+            with open(path, "rb") as f:
+                info = mp3_stream_info(f.read())
+            return info["total_samples"] / info["sample_rate"]
         audio, sr = read_audio_file(path)
         return len(audio) / sr
     except Exception:

@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 
 logger = logging.getLogger(__name__)
 
-AUDIO_EXTS = (".wav", ".flac")
+AUDIO_EXTS = (".wav", ".flac", ".mp3")
 
 
 @dataclass
