@@ -9,18 +9,24 @@ from turbo_whisper_workspace_tpu.pipeline import transcriber as tr
 
 
 class ScriptedTranscriber(tr.Transcriber):
-    """Overrides the device decode with scripted per-temperature results."""
+    """Overrides the device encode/decode with scripted per-temperature
+    results. The encode seam returns the window batch wrapped with a
+    leading axis so the production retry gather (`_gather_kv`, batch on
+    axis 1) works on it unchanged."""
 
     def __init__(self, script, **kw):
         super().__init__(**kw)
         self.script = script          # temperature → (avg_lp, no_sp, text)
         self.calls = []
 
-    def _decode_batch(self, audio_batch, languages, temperature=0.0,
+    def _encode_windows(self, audio_batch):
+        return {"win": np.asarray(audio_batch)[None]}
+
+    def _decode_batch(self, cross_kv, languages, temperature=0.0,
                       beam_size=None, prefix=None):
         self.calls.append(float(temperature))
         self.prefixes = getattr(self, "prefixes", []) + [prefix]
-        n = len(audio_batch)
+        n = int(np.asarray(cross_kv["win"]).shape[1])
         avg_lp, no_sp, text = self.script[round(float(temperature), 1)]
         toks = self.tokenizer.encode(text)
         sp = self.tokenizer.specials

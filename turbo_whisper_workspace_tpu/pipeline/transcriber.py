@@ -57,6 +57,23 @@ def _encode_batch(params, dims: wm.WhisperDims, audio: jax.Array,
     return wm.precompute_cross_kv(params, dims, feats, quantize=quantize_kv)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("dims", "sot", "lang_start", "n_languages")
+)
+def _detect_lang_jit(params, dims, cross_kv, sot, lang_start, n_languages):
+    return greedy_mod.detect_language_features(
+        params, dims, cross_kv, sot, lang_start, n_languages
+    )
+
+
+def _gather_kv(cross_kv, rows: np.ndarray):
+    """Gather batch rows (axis 1 of every (L, B, ...) leaf) of a
+    precomputed cross-KV pytree — temperature retries re-decode failed
+    rows without re-running the encoder."""
+    idx = jnp.asarray(rows)
+    return jax.tree.map(lambda x: jnp.take(x, idx, axis=1), cross_kv)
+
+
 @dataclass
 class Transcriber:
     params: wm.Params
@@ -100,9 +117,17 @@ class Transcriber:
         )
 
     # -- decode one fixed-shape batch of windows --------------------------
+    def _encode_windows(self, audio_batch: np.ndarray):
+        """waveforms (B, N_SAMPLES) → cross-KV (encoded ONCE per bucket;
+        language detection and every temperature retry reuse it)."""
+        return _encode_batch(
+            self.params, self.dims, jnp.asarray(audio_batch),
+            self.dims.n_mels, quantize_kv=self.config.quantize_cross_kv,
+        )
+
     def _decode_batch(
         self,
-        audio_batch: np.ndarray,               # (B, N_SAMPLES)
+        cross_kv,
         languages: Sequence[str | None],
         temperature: float = 0.0,
         beam_size: int | None = None,
@@ -113,10 +138,6 @@ class Transcriber:
             [self._prompt_row(l, prefix) for l in languages], np.int32
         )
         sot_index = len(prefix) if prefix else 0
-        cross_kv = _encode_batch(
-            self.params, self.dims, jnp.asarray(audio_batch),
-            self.dims.n_mels, quantize_kv=self.config.quantize_cross_kv,
-        )
         if beam_size > 1 and temperature == 0.0:
             res = beam_mod.beam_decode_features(
                 self.params, self.dims, cross_kv, jnp.asarray(prompt),
@@ -144,23 +165,26 @@ class Transcriber:
         text = tk.decode_text(sampled_tokens)
         return [{"start": 0.0, "end": None, "text": text}] if text else []
 
+    def _detect_language_rows(self, cross_kv) -> list[str]:
+        """Language ID for every row of an already-encoded bucket (one
+        decoder step on the cached cross-KV — the encoder is NOT re-run;
+        the reference's HF pipeline likewise detects from the encoded
+        first window)."""
+        sp = self.tokenizer.specials
+        probs = np.asarray(_detect_lang_jit(
+            self.params, self.dims, cross_kv, sp.sot, sp.sot + 1,
+            sp.n_languages,
+        ))
+        from ..decode.tokenizer import LANGUAGES
+
+        return [LANGUAGES[int(i)] for i in probs.argmax(-1)]
+
     def detect_languages(self, first_windows: np.ndarray) -> list[str]:
         """Batched language ID on each file's first window."""
         sp = self.tokenizer.specials
         if not sp.multilingual:
             return ["en"] * len(first_windows)
-        cross_kv = _encode_batch(
-            self.params, self.dims, jnp.asarray(first_windows), self.dims.n_mels
-        )
-        probs = np.asarray(
-            greedy_mod.detect_language_features(
-                self.params, self.dims, cross_kv, sp.sot, sp.sot + 1,
-                sp.n_languages,
-            )
-        )
-        from ..decode.tokenizer import LANGUAGES
-
-        return [LANGUAGES[int(i)] for i in probs.argmax(-1)]
+        return self._detect_language_rows(self._encode_windows(first_windows))
 
     # -- public API -------------------------------------------------------
     def transcribe(
@@ -203,17 +227,23 @@ class Transcriber:
             [longform.slice_chunk(audios[p.file_index], p) for p in plans]
         )
 
-        # per-file language: pinned > detected
+        # per-file language: pinned > detected. Detection is fused into
+        # the bucket loop below: each bucket is encoded ONCE and the
+        # language read from that cached cross-KV with one decoder step
+        # (the r1/r2 version ran a separate encoder pass over every
+        # file's first window — 2x encoder work at the default
+        # language=None).
+        detect = languages is None and cfg.language is None and sp.multilingual
         if languages is None:
-            if cfg.language is not None or not sp.multilingual:
-                languages = [cfg.language or "en"] * len(audios)
-            else:
-                firsts = np.stack(
-                    [longform.slice_chunk(a, longform.plan_chunks(len(a), i)[0])
-                     for i, a in enumerate(audios)]
-                )
-                languages = self.detect_languages(firsts)
-        win_langs = [languages[p.file_index] for p in plans]
+            languages = ([cfg.language or "en"] * len(audios) if not detect
+                         else [None] * len(audios))
+        languages = list(languages)
+
+        # first window index of each file (plan order: file-major, so a
+        # file's first window always precedes its later windows)
+        first_win = {}
+        for wi, p in enumerate(plans):
+            first_win.setdefault(p.file_index, wi)
 
         # fixed-size batches, padded with silence. The batch is bucketed
         # to the next power of two ≥ the window count (capped at the
@@ -225,15 +255,25 @@ class Transcriber:
         for lo in range(0, n_win, bsz):
             hi = min(lo + bsz, n_win)
             batch = windows[lo:hi]
-            langs = list(win_langs[lo:hi])
             if hi - lo < bsz:
                 pad = bsz - (hi - lo)
                 batch = np.concatenate(
                     [batch, np.zeros((pad, batch.shape[1]), np.float32)]
                 )
-                langs += ["en"] * pad
+            cross_kv = self._encode_windows(batch)
+            if detect and any(
+                languages[plans[w].file_index] is None for w in range(lo, hi)
+            ):
+                row_langs = self._detect_language_rows(cross_kv)
+                for w in range(lo, hi):
+                    fi = plans[w].file_index
+                    if languages[fi] is None and first_win[fi] == w:
+                        languages[fi] = row_langs[w - lo]
+            langs = [languages[plans[w].file_index] or "en"
+                     for w in range(lo, hi)]
+            langs += ["en"] * (bsz - (hi - lo))
             self._decode_windows_with_fallback(
-                batch, langs, lo, hi, window_results, prefix=prefix
+                cross_kv, langs, lo, hi, window_results, prefix=prefix
             )
 
         # merge windows per file
@@ -254,17 +294,20 @@ class Transcriber:
         return out
 
     def _decode_windows_with_fallback(
-        self, batch, langs, lo, hi, window_results, prefix=None
+        self, cross_kv, langs, lo, hi, window_results, prefix=None
     ) -> None:
         """Decode one fixed batch; re-decode failing rows at escalating
         temperatures (openai/whisper §4.5 fallback; reference analogue:
         dynamic_bar_audio.py:528-543). The initial_prompt prefix rides
-        every retry, as the reference's ladder re-passes it per attempt."""
+        every retry, as the reference's ladder re-passes it per attempt.
+        Retries GATHER the already-encoded cross-KV rows instead of
+        re-running mel+encoder on the re-packed batch."""
+        bsz = len(langs)
         pending = np.arange(hi - lo)
-        cur_batch, cur_langs = batch, langs
+        cur_kv, cur_langs = cross_kv, langs
         for t_i, temp in enumerate(FALLBACK_TEMPERATURES):
             res, p_len = self._decode_batch(
-                cur_batch, cur_langs, temperature=temp, prefix=prefix
+                cur_kv, cur_langs, temperature=temp, prefix=prefix
             )
             tokens = np.asarray(res.tokens)[:, p_len:]
             lengths = np.asarray(res.lengths)
@@ -299,16 +342,17 @@ class Transcriber:
                 }
             if not still_failed:
                 return
-            # keep batch shape fixed: re-decode with the failed rows
-            # gathered to the front (the rest is silence padding); row i
-            # of the next decode corresponds to window pending[i]
+            # keep batch shape fixed: re-decode with the failed rows'
+            # cross-KV gathered to the front (the rest repeats row 0 as
+            # padding); row i of the next decode corresponds to window
+            # pending[i]
             rows = np.array([r for r, _ in still_failed])
-            nb = np.zeros_like(cur_batch)
-            nb[: len(rows)] = cur_batch[rows]
+            gather_rows = np.zeros(bsz, np.int64)
+            gather_rows[: len(rows)] = rows
             cur_langs = [cur_langs[r] for r in rows] + ["en"] * (
-                len(cur_batch) - len(rows)
+                bsz - len(rows)
             )
-            cur_batch = nb
+            cur_kv = _gather_kv(cur_kv, gather_rows)
             pending = np.array([w for _, w in still_failed])
 
 
