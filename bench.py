@@ -125,7 +125,7 @@ def bench_pipeline_beam5(params, dims, drules, prompt, audio):
         ckv = wm.precompute_cross_kv(params, dims, feats, quantize=True)
         res = beam.beam_decode_features(
             params, dims, ckv, prompt, rules=drules, beam_size=BEAM,
-            max_len=DECODE_LEN,
+            max_len=DECODE_LEN, quantize_cache=True,
         )
         # diarization stage on the same audio: sliding segmentation
         # windows (10 s / 1 s step) + attentive-stats embedding crops,

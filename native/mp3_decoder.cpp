@@ -540,8 +540,12 @@ void apply_stereo(const Header& h, const GranuleInfo gi[2],
             }
         }
     } else if (is_st) {
-        // short-block intensity: treat bands above bound as is_pos from
-        // per-window scalefactors (coarse; rare in practice)
+        // Simplification (documented): short-block and MPEG-2 LSF
+        // intensity positions collapse to a centered downmix (L=R=x).
+        // Mainstream encoders (LAME, shine, ffmpeg's) never emit
+        // intensity stereo, so this branch is effectively dead in
+        // practice; a conforming stream hitting it degrades to mono
+        // imaging in the affected bands rather than mis-decoding.
         for (int i = is_bound; i < 576; i++) {
             double v = xl[i];
             xl[i] = v;

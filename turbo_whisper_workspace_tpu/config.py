@@ -48,6 +48,10 @@ class TranscriptionConfig:
     # (-33% decode time measured); per-head symmetric quantization with
     # negligible logit error (tests/test_attention_kernel.py)
     quantize_cross_kv: bool = True
+    # int8 self-attention KV cache for BEAM decode: the per-step beam
+    # reorder of the cache is the largest beam cost; int8 payload +
+    # per-(position, head) scales cut it 4.2x (profile_beam_ops.py)
+    quantize_self_kv: bool = True
 
 
 @dataclass

@@ -44,7 +44,8 @@ class BeamResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "rules", "beam_size", "max_len", "sot_index"),
+    static_argnames=("dims", "rules", "beam_size", "max_len", "sot_index",
+                     "quantize_cache"),
 )
 def beam_decode_features(
     params,
@@ -56,6 +57,7 @@ def beam_decode_features(
     beam_size: int = 5,
     max_len: int = 224,
     sot_index: int = 0,
+    quantize_cache: bool = False,
 ) -> BeamResult:
     sp = rules.specials
     b, p = prompt.shape
@@ -72,8 +74,12 @@ def beam_decode_features(
     begin_mask = rules.begin_mask()
 
     # Prefill once at B rows (every beam shares the prompt), then tile
-    # the self-KV cache to B·K.
-    cache_b = wm.init_kv_cache(dims, b, max_len=total, dtype=dtype)
+    # the self-KV cache to B·K. quantize_cache stores the self-KV int8
+    # with per-(position, head) scales: the per-step beam reorder is the
+    # dominant decode cost and int8 halves its traffic (4.2x faster than
+    # the original bf16 jnp.take, scripts/profile_beam_ops.py).
+    cache_b = wm.init_kv_cache(dims, b, max_len=total, dtype=dtype,
+                               quantize=quantize_cache)
     prefill_logits, cache_b = wm.decoder_forward(
         params, dims, prompt, cross_kv, cache_b, pos=0
     )
@@ -190,9 +196,19 @@ def beam_decode_features(
         flat_src = (
             jnp.arange(b)[:, None] * k + alive_src
         ).reshape(bk)                                        # (B*K,)
-        cache = jax.tree.map(
-            lambda x: jnp.take(x, flat_src, axis=1), c.cache
-        )
+        # Cache reorder: the single largest beam-decode cost. Measured
+        # on v5e (scripts/profile_beam_ops.py, (4,160,131,1280) bf16):
+        # jnp.take on axis 1 moves the cache at ~185 GB/s (4.6 ms/step);
+        # a one-hot MXU copy is WORSE (5.7 ms); flattening (L, B·K) into
+        # one leading axis and taking axis 0 lowers to large contiguous
+        # row copies at ~300 GB/s (2.85 ms/step) — use that.
+        def regather(x):
+            l, bk_, t_, d_ = x.shape
+            flat = x.reshape(l * bk_, t_, d_)
+            idx = (jnp.arange(l)[:, None] * bk_ + flat_src[None]).reshape(-1)
+            return jnp.take(flat, idx, axis=0).reshape(l, bk_, t_, d_)
+
+        cache = jax.tree.map(regather, c.cache)
         last_tok_g = jnp.take(c.last_tok, flat_src)
         ts_floor_g = jnp.take(c.ts_floor, flat_src)
 

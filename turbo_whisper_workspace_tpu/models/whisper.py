@@ -357,12 +357,66 @@ def precompute_cross_kv(
 
 
 def init_kv_cache(
-    dims: WhisperDims, batch: int, max_len: int | None = None, dtype=jnp.bfloat16
+    dims: WhisperDims, batch: int, max_len: int | None = None,
+    dtype=jnp.bfloat16, quantize: bool = False,
 ):
-    """Preallocated self-attention cache: {"k","v"} (L, B, max_len, D)."""
+    """Preallocated self-attention cache.
+
+    quantize=False: {"k","v"} (L, B, max_len, D) in `dtype`.
+    quantize=True: int8 payload with per-(position, head) scales —
+    {"k_q","v_q"} (L, B, max_len, D) int8 + {"k_s","v_s"}
+    (L, B, max_len, H) bf16. Beam search physically reorders this cache
+    every step; int8 halves that traffic (measured 4.2x faster reorder
+    than the bf16 jnp.take baseline, scripts/profile_beam_ops.py)."""
     max_len = max_len or dims.n_text_ctx
     shape = (dims.n_text_layer, batch, max_len, dims.n_text_state)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if not quantize:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    sshape = (dims.n_text_layer, batch, max_len, dims.n_text_head)
+    return {
+        "k_q": jnp.zeros(shape, jnp.int8),
+        "v_q": jnp.zeros(shape, jnp.int8),
+        "k_s": jnp.zeros(sshape, jnp.bfloat16),
+        "v_s": jnp.zeros(sshape, jnp.bfloat16),
+    }
+
+
+def _quantize_kv_rows(x: jax.Array, n_head: int):
+    """(B, T, D) → int8 payload (B, T, D) + per-(B, T, H) bf16 scales."""
+    b, t, d = x.shape
+    xh = x.reshape(b, t, n_head, d // n_head).astype(jnp.float32)
+    s = jnp.max(jnp.abs(xh), axis=-1) / 127.0            # (B, T, H)
+    s = jnp.maximum(s, 1e-8)
+    xq = jnp.clip(jnp.round(xh / s[..., None]), -127, 127).astype(jnp.int8)
+    return xq.reshape(b, t, d), s.astype(jnp.bfloat16)
+
+
+def _self_attention_int8(q, kq, ks, vq, vs, n_head: int, mask):
+    """Decode self-attention over the quantized cache (plain XLA; the
+    int8→bf16 cast fuses into the MXU read). Scales are per (position,
+    head) so they commute out of the matmuls: K's onto the score column,
+    V's onto the attention weights.
+
+    q (B, Tq, D); kq/vq (B, Tk, D) int8; ks/vs (B, Tk, H)."""
+    b, tq, d = q.shape
+    tk = kq.shape[1]
+    dh = d // n_head
+    scale = dh**-0.5
+    qh = q.reshape(b, tq, n_head, dh)
+    kh = kq.reshape(b, tk, n_head, dh).astype(q.dtype)
+    vh = vq.reshape(b, tk, n_head, dh).astype(q.dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (scale * ks.astype(jnp.float32)).transpose(0, 2, 1)[
+        :, :, None, :
+    ]
+    logits = jnp.where(mask, logits, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=-1)
+    weights = (weights * vs.astype(jnp.float32).transpose(0, 2, 1)[
+        :, :, None, :
+    ]).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
+    return out.reshape(b, tq, d)
 
 
 def decoder_forward(
@@ -399,8 +453,9 @@ def decoder_forward(
     if not use_cache:
         kv_cache = init_kv_cache(dims, b, max_len=t, dtype=dtype)
         pos = 0
+    quant_cache = "k_q" in kv_cache
 
-    cache_len = kv_cache["k"].shape[2]
+    cache_len = jax.tree.leaves(kv_cache)[0].shape[2]
     # positions < pos + t are valid keys
     key_pos = jnp.arange(cache_len)
     q_pos = pos + jnp.arange(t)
@@ -410,29 +465,48 @@ def decoder_forward(
     # updated in place with per-layer dynamic_update_slice — carrying it
     # as scan ys would rewrite the entire cache (~170 MB/step at batch
     # 32) every decode step instead of the one-token slice.
+    def _dus(cache, upd, li):
+        return jax.lax.dynamic_update_slice(
+            cache, upd[None].astype(cache.dtype), (li, 0, pos, 0))
+
+    def _ds(cache, li):
+        return jax.lax.dynamic_slice(
+            cache, (li, 0, 0, 0), (1,) + cache.shape[1:])[0]
+
     def body(carry, layer):
-        x, cache_k, cache_v = carry
+        x, cache = carry
         block, ckv, li = layer
         # self-attention with cache
         h = layer_norm(x, block["attn_ln"])
         q = linear(h, block["attn"]["q"])
         k = linear(h, block["attn"]["k"])
         v = linear(h, block["attn"]["v"])
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k[None].astype(cache_k.dtype), (li, 0, pos, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v[None].astype(cache_v.dtype), (li, 0, pos, 0))
-        ck = jax.lax.dynamic_slice(
-            cache_k, (li, 0, 0, 0), (1, b, cache_len, dims.n_text_state))[0]
-        cv = jax.lax.dynamic_slice(
-            cache_v, (li, 0, 0, 0), (1, b, cache_len, dims.n_text_state))[0]
-        attn = mha(
-            q,
-            ck.astype(q.dtype),
-            cv.astype(q.dtype),
-            n_head,
-            mask=attn_mask[None, None],
-        )
+        if quant_cache:
+            kq_new, ks_new = _quantize_kv_rows(k, n_head)
+            vq_new, vs_new = _quantize_kv_rows(v, n_head)
+            cache = {
+                "k_q": _dus(cache["k_q"], kq_new, li),
+                "k_s": _dus(cache["k_s"], ks_new, li),
+                "v_q": _dus(cache["v_q"], vq_new, li),
+                "v_s": _dus(cache["v_s"], vs_new, li),
+            }
+            attn = _self_attention_int8(
+                q, _ds(cache["k_q"], li), _ds(cache["k_s"], li),
+                _ds(cache["v_q"], li), _ds(cache["v_s"], li),
+                n_head, attn_mask[None, None],
+            )
+        else:
+            cache = {
+                "k": _dus(cache["k"], k, li),
+                "v": _dus(cache["v"], v, li),
+            }
+            attn = mha(
+                q,
+                _ds(cache["k"], li).astype(q.dtype),
+                _ds(cache["v"], li).astype(q.dtype),
+                n_head,
+                mask=attn_mask[None, None],
+            )
         x = x + linear(attn, block["attn"]["out"])
         # cross-attention over head-major precomputed K/V (no transposes)
         h = layer_norm(x, block["cross_ln"])
@@ -479,14 +553,13 @@ def decoder_forward(
         cattn = cattn.transpose(0, 2, 1, 3).reshape(bq, tq, dd)
         x = x + linear(cattn, block["cross"]["out"])
         x = _mlp_block(x, block)
-        return (x, cache_k, cache_v), None
+        return (x, cache), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
+    (x, new_cache), _ = jax.lax.scan(
         body,
-        (x, kv_cache["k"], kv_cache["v"]),
+        (x, kv_cache),
         (dec["blocks"], cross_kv, jnp.arange(dims.n_text_layer)),
     )
-    new_cache = {"k": new_k, "v": new_v}
     x = layer_norm(x, dec["ln"])
     logits = jnp.einsum(
         "btd,vd->btv", x, dec["token_emb"].astype(x.dtype),

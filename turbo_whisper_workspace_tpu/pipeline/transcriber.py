@@ -143,6 +143,7 @@ class Transcriber:
                 self.params, self.dims, cross_kv, jnp.asarray(prompt),
                 rules=self.rules, beam_size=beam_size,
                 max_len=self.config.max_decode_len, sot_index=sot_index,
+                quantize_cache=self.config.quantize_self_kv,
             )
         else:
             res = greedy_mod.greedy_decode_features(
