@@ -363,60 +363,40 @@ def init_kv_cache(
     """Preallocated self-attention cache.
 
     quantize=False: {"k","v"} (L, B, max_len, D) in `dtype`.
-    quantize=True: int8 payload with per-(position, head) scales —
-    {"k_q","v_q"} (L, B, max_len, D) int8 + {"k_s","v_s"}
-    (L, B, max_len, H) bf16. Beam search physically reorders this cache
+    quantize=True: int8 payload with per-(position, head) scales, head-
+    major — {"k_q","v_q"} (L, B, H, max_len, Dh) int8 + {"k_s","v_s"}
+    (L, B, H, max_len) bf16. Beam search physically reorders this cache
     every step; int8 halves that traffic (measured 4.2x faster reorder
-    than the bf16 jnp.take baseline, scripts/profile_beam_ops.py)."""
+    than the bf16 jnp.take baseline, scripts/profile_beam_ops.py), the
+    head-major layout feeds the Pallas decode kernel with no transposes,
+    and keeping the position axis off the minor dim avoids the 6x lane
+    padding a (…, H=20) minor axis costs in the reorder copies."""
     max_len = max_len or dims.n_text_ctx
-    shape = (dims.n_text_layer, batch, max_len, dims.n_text_state)
     if not quantize:
+        shape = (dims.n_text_layer, batch, max_len, dims.n_text_state)
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-    sshape = (dims.n_text_layer, batch, max_len, dims.n_text_head)
+    h = dims.n_text_head
+    dh = dims.n_text_state // h
+    qshape = (dims.n_text_layer, batch, h, max_len, dh)
+    sshape = (dims.n_text_layer, batch, h, max_len)
     return {
-        "k_q": jnp.zeros(shape, jnp.int8),
-        "v_q": jnp.zeros(shape, jnp.int8),
+        "k_q": jnp.zeros(qshape, jnp.int8),
+        "v_q": jnp.zeros(qshape, jnp.int8),
         "k_s": jnp.zeros(sshape, jnp.bfloat16),
         "v_s": jnp.zeros(sshape, jnp.bfloat16),
     }
 
 
 def _quantize_kv_rows(x: jax.Array, n_head: int):
-    """(B, T, D) → int8 payload (B, T, D) + per-(B, T, H) bf16 scales."""
+    """(B, T, D) → head-major int8 payload (B, H, T, Dh) + per-(B, H, T)
+    bf16 scales."""
     b, t, d = x.shape
-    xh = x.reshape(b, t, n_head, d // n_head).astype(jnp.float32)
-    s = jnp.max(jnp.abs(xh), axis=-1) / 127.0            # (B, T, H)
+    xh = x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+    xh = xh.astype(jnp.float32)                          # (B, H, T, Dh)
+    s = jnp.max(jnp.abs(xh), axis=-1) / 127.0            # (B, H, T)
     s = jnp.maximum(s, 1e-8)
     xq = jnp.clip(jnp.round(xh / s[..., None]), -127, 127).astype(jnp.int8)
-    return xq.reshape(b, t, d), s.astype(jnp.bfloat16)
-
-
-def _self_attention_int8(q, kq, ks, vq, vs, n_head: int, mask):
-    """Decode self-attention over the quantized cache (plain XLA; the
-    int8→bf16 cast fuses into the MXU read). Scales are per (position,
-    head) so they commute out of the matmuls: K's onto the score column,
-    V's onto the attention weights.
-
-    q (B, Tq, D); kq/vq (B, Tk, D) int8; ks/vs (B, Tk, H)."""
-    b, tq, d = q.shape
-    tk = kq.shape[1]
-    dh = d // n_head
-    scale = dh**-0.5
-    qh = q.reshape(b, tq, n_head, dh)
-    kh = kq.reshape(b, tk, n_head, dh).astype(q.dtype)
-    vh = vq.reshape(b, tk, n_head, dh).astype(q.dtype)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                        preferred_element_type=jnp.float32)
-    logits = logits * (scale * ks.astype(jnp.float32)).transpose(0, 2, 1)[
-        :, :, None, :
-    ]
-    logits = jnp.where(mask, logits, -jnp.inf)
-    weights = jax.nn.softmax(logits, axis=-1)
-    weights = (weights * vs.astype(jnp.float32).transpose(0, 2, 1)[
-        :, :, None, :
-    ]).astype(q.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
-    return out.reshape(b, tq, d)
+    return xq, s.astype(jnp.bfloat16)
 
 
 def decoder_forward(
@@ -471,7 +451,8 @@ def decoder_forward(
 
     def _ds(cache, li):
         return jax.lax.dynamic_slice(
-            cache, (li, 0, 0, 0), (1,) + cache.shape[1:])[0]
+            cache, (li,) + (0,) * (cache.ndim - 1),
+            (1,) + cache.shape[1:])[0]
 
     def body(carry, layer):
         x, cache = carry
@@ -482,19 +463,40 @@ def decoder_forward(
         k = linear(h, block["attn"]["k"])
         v = linear(h, block["attn"]["v"])
         if quant_cache:
-            kq_new, ks_new = _quantize_kv_rows(k, n_head)
+            kq_new, ks_new = _quantize_kv_rows(k, n_head)   # (B,H,t,Dh)
             vq_new, vs_new = _quantize_kv_rows(v, n_head)
             cache = {
-                "k_q": _dus(cache["k_q"], kq_new, li),
-                "k_s": _dus(cache["k_s"], ks_new, li),
-                "v_q": _dus(cache["v_q"], vq_new, li),
-                "v_s": _dus(cache["v_s"], vs_new, li),
+                "k_q": jax.lax.dynamic_update_slice(
+                    cache["k_q"], kq_new[None], (li, 0, 0, pos, 0)),
+                "k_s": jax.lax.dynamic_update_slice(
+                    cache["k_s"], ks_new[None], (li, 0, 0, pos)),
+                "v_q": jax.lax.dynamic_update_slice(
+                    cache["v_q"], vq_new[None], (li, 0, 0, pos, 0)),
+                "v_s": jax.lax.dynamic_update_slice(
+                    cache["v_s"], vs_new[None], (li, 0, 0, pos)),
             }
-            attn = _self_attention_int8(
-                q, _ds(cache["k_q"], li), _ds(cache["k_s"], li),
-                _ds(cache["v_q"], li), _ds(cache["v_s"], li),
-                n_head, attn_mask[None, None],
-            )
+            qh_self = q.reshape(
+                b, t, n_head, dims.n_text_state // n_head
+            ).transpose(0, 2, 1, 3)
+            mode = _pallas_mode()
+            if t == 1 and mode != "off":
+                from ..ops.attention import self_attention_int8
+
+                attn_h = self_attention_int8(
+                    qh_self, _ds(cache["k_q"], li), _ds(cache["k_s"], li),
+                    _ds(cache["v_q"], li), _ds(cache["v_s"], li),
+                    pos + 1, interpret=(mode == "interpret"),
+                )
+            else:
+                from ..ops.attention import self_attention_int8_xla
+
+                attn_h = self_attention_int8_xla(
+                    qh_self, _ds(cache["k_q"], li), _ds(cache["k_s"], li),
+                    _ds(cache["v_q"], li), _ds(cache["v_s"], li),
+                    attn_mask[None, None],
+                )
+            attn = attn_h.transpose(0, 2, 1, 3).reshape(
+                b, t, dims.n_text_state)
         else:
             cache = {
                 "k": _dus(cache["k"], k, li),

@@ -188,6 +188,106 @@ def cross_attention_int8(
     return out
 
 
+def _self_int8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
+                      *, scale: float):
+    """Decode-time SELF-attention over the quantized KV cache for ONE
+    beam/batch row. Unlike the cross kernel, scales vary per (head,
+    position) — K's multiply the score columns, V's the attention
+    weights — and the valid key length is DYNAMIC (scalar-prefetched
+    `len_ref`): positions ≥ len are masked.
+
+    Blocks: q (H, Tq, Dh) bf16; kq/vq (H, T, Dh) int8; ks/vs (H, T).
+    Reading the int8 payload directly in-kernel avoids the bf16
+    dequant materialization XLA emits for the einsum path (measured
+    1.3 ms/step of pure convert traffic at beam-5 batch 32)."""
+    valid = len_ref[0]
+    q = q_ref[0]                                    # (H, Tq, Dh) bf16
+    kq = kq_ref[0].astype(jnp.bfloat16)             # (H, T, Dh)
+    vq = vq_ref[0].astype(jnp.bfloat16)
+    ks = ks_ref[0].astype(jnp.float32)              # (H, T)
+    vs = vs_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, kq, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                               # (H, Tq, T)
+    scores = scores * (ks[:, None, :] * scale)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+    scores = jnp.where(col < valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp2(scores - m)
+    w = p * pl.reciprocal(jnp.sum(p, -1, keepdims=True), approx=False)
+    w = (w * vs[:, None, :]).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        w, vq, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                               # (H, Tq, Dh)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def self_attention_int8(
+    q: jax.Array,         # (B, H, Tq, Dh) bf16
+    kq: jax.Array,        # (B, H, T, Dh) int8
+    ks: jax.Array,        # (B, H, T) scales
+    vq: jax.Array,        # (B, H, T, Dh) int8
+    vs: jax.Array,        # (B, H, T)
+    valid_len,            # scalar int32: keys at positions < valid_len count
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-step decode self-attention over the int8 cache.
+    Returns (B, H, Tq, Dh) in q's dtype."""
+    import math
+
+    b, h, tq, dh = q.shape
+    t = kq.shape[2]
+    scale = (dh**-0.5) * math.log2(math.e)
+    vl = jnp.full((1,), valid_len, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, tq, dh), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, t, dh), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, t), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, h, t, dh), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, t), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, tq, dh), lambda i, *_: (i, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_self_int8_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, dh), q.dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * t * dh,
+            bytes_accessed=2 * b * h * t * dh + 2 * b * h * tq * dh * 2,
+            transcendentals=b * h * tq * t,
+        ),
+        interpret=interpret,
+    )(vl, q, kq, ks, vq, vs)
+
+
+def self_attention_int8_xla(
+    q: jax.Array,         # (B, H, Tq, Dh)
+    kq: jax.Array,        # (B, H, T, Dh) int8
+    ks: jax.Array,        # (B, H, T)
+    vq: jax.Array,        # (B, H, T, Dh) int8
+    vs: jax.Array,        # (B, H, T)
+    mask: jax.Array,      # broadcastable to (B, H, Tq, T)
+) -> jax.Array:
+    """Plain-XLA twin (CPU fallback / prefill with causal mask / kernel
+    test oracle). Same math as the Pallas kernel."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, kq.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * (ks.astype(jnp.float32)[:, :, None, :] * scale)
+    logits = jnp.where(mask, logits, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=-1)
+    weights = (weights * vs.astype(jnp.float32)[:, :, None, :]).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, vq.astype(q.dtype))
+
+
 def quantize_cross_kv_int8(k: jax.Array, v: jax.Array):
     """(L, B, H, T, Dh) bf16 K/V → transposed int8 + per-(L,B,H) scales,
     T padded to a 128 multiple for int8 lane tiling."""
