@@ -126,10 +126,14 @@ def test_beam_quantized_self_kv(setup, rng):
 
 def test_self_attention_int8_matches_mha(rng):
     """Quantized-cache attention vs the bf16 oracle: per-(position,
-    head) int8 K/V keeps the attention output within ~1%."""
+    head) int8 K/V keeps the attention output within ~1%.
+
+    Exercises ops.attention.self_attention_int8_xla (the XLA twin used
+    for CPU/prefill) against models.whisper.mha with head-major inputs."""
     import jax.numpy as jnp
 
     from turbo_whisper_workspace_tpu.models import whisper as wm
+    from turbo_whisper_workspace_tpu.ops.attention import self_attention_int8_xla
 
     b, tq, tk, h, dh = 3, 1, 17, 4, 16
     d = h * dh
@@ -138,8 +142,13 @@ def test_self_attention_int8_matches_mha(rng):
     v = jnp.asarray(rng.standard_normal((b, tk, d)), jnp.float32)
     mask = jnp.ones((1, 1, tq, tk), bool)
     ref = wm.mha(q, k, v, h, mask=mask)
-    kq, ks = wm._quantize_kv_rows(k, h)
+    kq, ks = wm._quantize_kv_rows(k, h)      # (B,H,Tk,Dh) int8, (B,H,Tk)
     vq, vs = wm._quantize_kv_rows(v, h)
-    out = wm._self_attention_int8(q, kq, ks, vq, vs, h, mask)
+
+    def head_major(x):
+        return x.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
+
+    out_hm = self_attention_int8_xla(head_major(q), kq, ks, vq, vs, mask)
+    out = out_hm.transpose(0, 2, 1, 3).reshape(b, tq, d)
     err = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert err < 0.02, err

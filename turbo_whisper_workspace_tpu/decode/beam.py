@@ -202,11 +202,13 @@ def beam_decode_features(
         # a one-hot MXU copy is WORSE (5.7 ms); flattening (L, B·K) into
         # one leading axis and taking axis 0 lowers to large contiguous
         # row copies at ~300 GB/s (2.85 ms/step) — use that.
+        # Rank-agnostic: bf16 leaves are (L, B·K, T, D); quantized leaves
+        # are (L, B·K, H, T, Dh) payloads and (L, B·K, H, T) scales.
         def regather(x):
-            l, bk_, t_, d_ = x.shape
-            flat = x.reshape(l * bk_, t_, d_)
+            l, bk_ = x.shape[:2]
+            flat = x.reshape((l * bk_,) + x.shape[2:])
             idx = (jnp.arange(l)[:, None] * bk_ + flat_src[None]).reshape(-1)
-            return jnp.take(flat, idx, axis=0).reshape(l, bk_, t_, d_)
+            return jnp.take(flat, idx, axis=0).reshape(x.shape)
 
         cache = jax.tree.map(regather, c.cache)
         last_tok_g = jnp.take(c.last_tok, flat_src)

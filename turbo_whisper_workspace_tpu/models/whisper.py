@@ -435,7 +435,11 @@ def decoder_forward(
         pos = 0
     quant_cache = "k_q" in kv_cache
 
-    cache_len = jax.tree.leaves(kv_cache)[0].shape[2]
+    # Cache length = position axis: quant layout is (L, B, H, T, Dh),
+    # bf16 layout is (L, B, T, D) — indexing a fixed leaf axis 2 would
+    # read the head axis of the quant cache (the round-3 prefill crash).
+    cache_len = (kv_cache["k_q"].shape[3] if "k_q" in kv_cache
+                 else kv_cache["k"].shape[2])
     # positions < pos + t are valid keys
     key_pos = jnp.arange(cache_len)
     q_pos = pos + jnp.arange(t)
