@@ -92,3 +92,73 @@ def test_decoder_int8_cross_attention_interpret_matches_xla(model, monkeypatch):
     ref = _decode_step(params, dims, ckv, tokens, "off", monkeypatch)
     out = _decode_step(params, dims, ckv, tokens, "interpret", monkeypatch)
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+# --- quantized SELF-KV cache through decoder_forward ------------------
+# Round-3 regression: cache_len was read from leaf axis 2 — the HEAD
+# axis of the (L, B, H, T, Dh) quantized layout — so the causal mask had
+# width H instead of max_len and prefill crashed at trace time. These
+# tests drive decoder_forward with quantize=True caches where
+# n_text_head != max_len, for both the t>1 prefill (XLA twin) and the
+# t==1 Pallas kernel call site (whisper.py decoder_forward body).
+
+
+def _cross_kv(params, dims, seed=1):
+    feats = jnp.asarray(
+        np.random.default_rng(seed).normal(size=(2, dims.n_audio_ctx,
+                                                  dims.n_audio_state)) * 0.3,
+        jnp.float32,
+    )
+    return whisper.precompute_cross_kv(params, dims, feats)
+
+
+def test_decoder_quant_self_kv_prefill_matches_bf16(model):
+    """t>1 prefill through the XLA int8 self-attention twin vs the bf16
+    cache path. max_len(8) != n_text_head(2) so an axis mix-up in
+    cache_len breaks the mask width (the exact round-3 bug)."""
+    params, dims = model
+    ckv = _cross_kv(params, dims)
+    tokens = jnp.array([[11, 3, 7, 500, 2], [42, 9, 1, 15, 300]], jnp.int32)
+
+    cache_bf16 = whisper.init_kv_cache(dims, 2, max_len=8, dtype=jnp.float32)
+    ref, _ = whisper.decoder_forward(
+        params, dims, tokens, ckv, kv_cache=cache_bf16, pos=0)
+
+    cache_q = whisper.init_kv_cache(dims, 2, max_len=8, quantize=True)
+    out, new_cache = whisper.decoder_forward(
+        params, dims, tokens, ckv, kv_cache=cache_q, pos=0)
+    assert new_cache["k_q"].shape == (dims.n_text_layer, 2,
+                                      dims.n_text_head, 8,
+                                      dims.n_text_state // dims.n_text_head)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-2, rtol=5e-2)
+
+
+def test_decoder_quant_self_kv_step_interpret_matches_xla(model, monkeypatch):
+    """t==1 decode step at pos>0: the Pallas self_attention_int8 kernel
+    (interpret) vs the XLA twin (mode=off), through decoder_forward with
+    a partially-filled quantized cache — the call site that had zero
+    model-path coverage in round 3."""
+    params, dims = model
+    ckv = _cross_kv(params, dims)
+    prefill = jnp.array([[11, 3, 7], [42, 9, 1]], jnp.int32)
+    step_tok = jnp.array([[500], [300]], jnp.int32)
+
+    def run(mode):
+        monkeypatch.setenv("TWW_PALLAS", mode)
+        jax.clear_caches()
+        try:
+            cache = whisper.init_kv_cache(dims, 2, max_len=8, quantize=True)
+            # prefill always routes t>1 to the XLA twin regardless of mode
+            _, cache = whisper.decoder_forward(
+                params, dims, prefill, ckv, kv_cache=cache, pos=0)
+            logits, _ = whisper.decoder_forward(
+                params, dims, step_tok, ckv, kv_cache=cache, pos=3)
+            return np.asarray(logits)
+        finally:
+            monkeypatch.delenv("TWW_PALLAS")
+            jax.clear_caches()
+
+    ref = run("off")
+    out = run("interpret")
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
