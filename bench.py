@@ -5,7 +5,9 @@ Prints one JSON line per bench, the BASELINE target configuration LAST
 
   1. asr_greedy      — large-v3-turbo, batch 32, greedy, 128-token decode
                        (tracking metric from round 1)
-  2. pipeline_beam5  — BASELINE.md's >500 target row: large-v3-turbo
+  2. llm_decode_int8/int4 — N3 engine: Llama single-stream decode
+                       tokens/s/chip at the reference's Q4/Q8 points
+  3. pipeline_beam5  — BASELINE.md's >500 target row: large-v3-turbo
                        BEAM-5 + timestamps (config #3) PLUS the
                        diarization forwards (segmentation sliding
                        windows + speaker-embedding crops) that the full
@@ -20,8 +22,9 @@ decodes the full 128 tokens (honest worst case: real checkpoints
 terminate earlier). Host-side merge/clustering is excluded: it is
 O(segments²) NumPy measured at <1% of stage time in examples/demo.py.
 
-Env knobs: BENCH_MODE=asr|pipeline|both, BENCH_BATCH, BENCH_DECODE_LEN,
-BENCH_ITERS, BENCH_BEAM.
+Env knobs: BENCH_MODE=asr|llm|pipeline|both, BENCH_BATCH,
+BENCH_DECODE_LEN, BENCH_ITERS, BENCH_BEAM, BENCH_LLM_MODEL,
+BENCH_LLM_LEN.
 """
 
 import json
@@ -107,6 +110,59 @@ def bench_asr_greedy(params, dims, drules, prompt, audio):
     return _emit("asr_greedy", BATCH * 30.0 * ITERS, elapsed, compile_s, {})
 
 
+def bench_llm_decode():
+    """N3 engine number (VERDICT r3 #8): tokens/s/chip for the Llama
+    decoder at the reference's operating points — int8 and grouped-int4
+    weights (the reference runs Hermes Q4_K_M through llama.cpp,
+    vocalis/llm/llm_helper.py:67-73). Single-stream (batch 1) like the
+    reference's enrichment calls; one jitted while_loop per generation.
+
+    vs_baseline is vs a nominal 100 tok/s — the llama.cpp single-stream
+    class on the reference's stated RTX 4090 target (no number is
+    published in the reference repo, BASELINE.md:5)."""
+    from turbo_whisper_workspace_tpu.llm import generate as gen_mod
+    from turbo_whisper_workspace_tpu.models import llama as lm
+    from turbo_whisper_workspace_tpu.ops.quant import quantize_tree
+
+    model = os.environ.get("BENCH_LLM_MODEL", "llama-3.2-3b")
+    gen_len = int(os.environ.get("BENCH_LLM_LEN", 64))
+    dims = lm.LLAMA_CONFIGS[model]
+    params = lm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    prompt = jnp.arange(16, dtype=jnp.int32)[None, :] % dims.n_vocab
+
+    for bits in (8, 4):
+        qparams = quantize_tree(params, bits=bits)
+
+        def run():
+            return gen_mod.generate_tokens(
+                qparams, dims, prompt, max_len=gen_len)
+
+        t0 = time.time()
+        _sync(run().tokens)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(ITERS):
+            res = run()
+        _sync(res.tokens)
+        elapsed = time.time() - t0
+        toks = gen_len * ITERS
+        value = toks / elapsed
+        print(json.dumps({
+            "metric": f"llm_decode_int{bits}",
+            "value": round(value, 2),
+            "unit": "tok/s/chip",
+            "vs_baseline": round(value / 100.0, 3),
+            "detail": {
+                "model": model, "gen_len": gen_len, "batch": 1,
+                "iters": ITERS, "compile_s": round(compile_s, 1),
+                "elapsed_s": round(elapsed, 2),
+                "device": str(jax.devices()[0]),
+            },
+        }), flush=True)
+        del qparams
+    del params
+
+
 def bench_pipeline_beam5(params, dims, drules, prompt, audio):
     """BASELINE config #3/#4: beam-5 + timestamps + diarization forwards."""
     seg_dims = seg_mod.SegmentationDims()
@@ -182,6 +238,9 @@ def main():
 
     if MODE in ("asr", "both"):
         bench_asr_greedy(params, dims, drules, prompt, audio)
+    if MODE in ("llm", "both"):
+        bench_llm_decode()
+    # BASELINE gate config LAST — the driver records the final line
     if MODE in ("pipeline", "both"):
         bench_pipeline_beam5(params, dims, drules, prompt, audio)
 
