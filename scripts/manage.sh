@@ -55,6 +55,20 @@ case "${1:-help}" in
   logs)        tail -n 50 -f "$LOG_DIR"/*.log ;;
   test)        (cd "$REPO_ROOT" && "$PYTHON" -m pytest tests/ -q) ;;
   bench)       (cd "$REPO_ROOT" && "$PYTHON" bench.py) ;;
+  check)       # mechanical pre-commit gate for perf changes (VERDICT r3
+               # #9): full suite + a CPU smoke of every bench path, so a
+               # broken decode program can never ship unnoticed again.
+               (cd "$REPO_ROOT" && "$PYTHON" -m pytest tests/ -q) || exit 1
+               (cd "$REPO_ROOT" && BENCH_MODEL=tiny BENCH_BATCH=2 \
+                  BENCH_DECODE_LEN=8 BENCH_ITERS=1 \
+                  BENCH_LLM_MODEL=test-tiny BENCH_LLM_LEN=4 \
+                  "$PYTHON" -c "
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import bench
+bench.main()
+") || exit 1
+               echo 'check: suite green, all bench paths run end-to-end' ;;
   install-dev) "$PYTHON" -m pip install -e "$REPO_ROOT[dev]" ;;
-  *) echo "usage: $0 {start|start-api|start-ui|stop|restart|status|logs|test|bench|install-dev}" ;;
+  *) echo "usage: $0 {start|start-api|start-ui|stop|restart|status|logs|test|bench|check|install-dev}" ;;
 esac
