@@ -168,6 +168,63 @@ def _looks_like_mp3(data: bytes) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# AAC / M4A (native decoder — MP4 demux + AAC-LC core,
+# native/aac_decoder.cpp; oracle-tested vs libavcodec in tests/test_aac.py)
+
+
+def _aac_lib():
+    lib = load_native("aac_decoder")
+    lib.aac_info.restype = ctypes.c_long
+    lib.aac_info.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.aac_decode.restype = ctypes.c_long
+    lib.aac_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+def aac_stream_info(data: bytes) -> dict:
+    """{sample_rate, channels, total_samples(bound)} for M4A/ADTS bytes."""
+    lib = _aac_lib()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = lib.aac_info(data, len(data), ctypes.byref(sr), ctypes.byref(ch))
+    if n < 0:
+        raise AudioDecodeError("not an MP4/ADTS AAC stream")
+    return {"sample_rate": sr.value, "channels": ch.value, "total_samples": n}
+
+
+def decode_aac(data: bytes) -> tuple[np.ndarray, int]:
+    """M4A/ADTS bytes → (float32 samples (n, ch) in [-1,1], sample_rate)."""
+    info = aac_stream_info(data)
+    lib = _aac_lib()
+    cap = info["total_samples"] + 2048
+    out = np.zeros(cap * max(info["channels"], 1), np.float32)
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = lib.aac_decode(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        ctypes.byref(sr), ctypes.byref(ch),
+    )
+    if n < 0:
+        raise AudioDecodeError(f"AAC decode failed (rc={n})")
+    return out[: n * ch.value].reshape(-1, ch.value), sr.value
+
+
+def _looks_like_aac(data: bytes) -> bool:
+    if len(data) > 12 and data[4:8] == b"ftyp":
+        return True  # ISO-BMFF (m4a/mp4)
+    # ADTS sync: layer bits 00 distinguish it from MPEG audio layer III
+    return len(data) > 4 and data[0] == 0xFF and (data[1] & 0xF6) == 0xF0
+
+
+# ---------------------------------------------------------------------------
 # WAV (stdlib)
 
 
@@ -254,6 +311,9 @@ def read_audio_file(
         elif data[:4] == b"RIFF":
             samples, sr, bits = decode_wav(data)
             audio = _to_float_mono(samples, bits)
+        elif _looks_like_aac(data):
+            samples, sr = decode_aac(data)
+            audio = samples.mean(axis=1) if samples.ndim == 2 else samples
         elif _looks_like_mp3(data):
             samples, sr = decode_mp3(data)
             audio = samples.mean(axis=1) if samples.ndim == 2 else samples
@@ -283,6 +343,10 @@ def get_audio_duration(path: str) -> float:
         if head[:4] == b"RIFF":
             with wave.open(path) as w:
                 return w.getnframes() / w.getframerate()
+        if _looks_like_aac(head):
+            with open(path, "rb") as f:
+                info = aac_stream_info(f.read())
+            return info["total_samples"] / info["sample_rate"]
         if _looks_like_mp3(head):
             with open(path, "rb") as f:
                 info = mp3_stream_info(f.read())
