@@ -20,7 +20,12 @@ import time
 from dataclasses import dataclass, field
 
 # v5e (TPU v5 lite) per-chip peaks; override for other generations.
-PEAK_BF16_FLOPS = 394e12
+# bf16 MXU peak is 197 TFLOP/s — the oft-quoted 394 is the INT8 TOPS
+# figure (rounds 1-3 used 394 for bf16, which halved every reported
+# speed-of-light fraction; e.g. the encoder MLP's measured ~180 TF/s is
+# ~91% of the true bf16 peak, not 46%).
+PEAK_BF16_FLOPS = 197e12
+PEAK_INT8_OPS = 394e12
 PEAK_HBM_BYTES_S = 819e9
 
 
