@@ -5,13 +5,14 @@ a decode cascade returning mono float32 peak-normalized PCM, degrading
 to 0.1 s of silence on total failure (`:76`); duration probing;
 format conversion; dBFS gain normalization.
 
-TPU-native differences: decoding is first-party (native/flac_decoder.cpp
-and native/mp3_decoder.cpp via ctypes + stdlib WAV) instead of
-soundfile/librosa/pydub→ffmpeg, and resampling is a polyphase filter on
-host feeding fixed-shape float32 batches to the device. FLAC decode is
-verified against the STREAMINFO MD5 of the unencoded PCM; the MP3
-decoder is validated bit-faithfully against a reference decoder in
-tests/test_mp3.py.
+TPU-native differences: decoding is first-party (native/flac_decoder.cpp,
+native/mp3_decoder.cpp, native/aac_decoder.cpp — MP4/M4A + ADTS — via
+ctypes + stdlib WAV) instead of soundfile/librosa/pydub→ffmpeg, and
+resampling is a polyphase filter on host feeding fixed-shape float32
+batches to the device. FLAC decode is verified against the STREAMINFO
+MD5 of the unencoded PCM; the MP3 and AAC decoders are validated
+bit-faithfully against reference decoders in tests/test_mp3.py and
+tests/test_aac.py.
 """
 
 from __future__ import annotations
