@@ -154,6 +154,23 @@ def test_duration_probe(tmp_path):
     assert abs(dur - 3.0) < 0.2, dur
 
 
+@needs_av
+def test_id3_tagged_adts_routes_to_aac(tmp_path):
+    """ID3v2-fronted .aac files must not be eaten by the MP3 scanner
+    (its frame sync can false-positive on AAC payload bytes)."""
+    pcm = synth(44100, 1, secs=1.0)
+    path = encode(tmp_path, pcm, 44100, b"adts")
+    raw = open(path, "rb").read()
+    body = b"\x00" * 16
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(body)]) + body
+    tagged = tmp_path / "tagged.aac"
+    tagged.write_bytes(id3 + raw)
+    audio, sr = aio.read_audio_file(str(tagged))
+    assert sr == 16000
+    assert len(audio) > 14000          # ~1 s decoded, not 0.1 s silence
+    assert np.abs(audio).max() > 0.01
+
+
 def test_corrupt_m4a_degrades_to_silence(tmp_path):
     """Cascade degrade-and-continue (vocalis/core/audio_utils.py:76)."""
     p = tmp_path / "bad.m4a"

@@ -316,7 +316,14 @@ def read_audio_file(
             samples, sr = decode_aac(data)
             audio = samples.mean(axis=1) if samples.ndim == 2 else samples
         elif _looks_like_mp3(data):
-            samples, sr = decode_mp3(data)
+            # an ID3 tag can front either stream. The ADTS sniffer is
+            # strict (exact sync + layer bits right after the tag) while
+            # the MP3 frame scanner can false-positive on AAC payload
+            # bytes — so probe AAC first, fall back to MP3.
+            try:
+                samples, sr = decode_aac(data)
+            except AudioDecodeError:
+                samples, sr = decode_mp3(data)
             audio = samples.mean(axis=1) if samples.ndim == 2 else samples
         else:
             raise AudioDecodeError(f"unrecognized container: {path}")
