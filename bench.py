@@ -127,11 +127,42 @@ def bench_llm_decode():
     model = os.environ.get("BENCH_LLM_MODEL", "llama-3.2-3b")
     gen_len = int(os.environ.get("BENCH_LLM_LEN", 64))
     dims = lm.LLAMA_CONFIGS[model]
-    params = lm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+    # Weights are built HOST-side (numpy f16) and only the QUANTIZED
+    # tensors are pushed to the chip: materializing the bf16 3B model
+    # on device next to the whisper bench state OOMs a 16 GB v5e.
+    rng = np.random.default_rng(0)
+    d, dh = dims.d_model, dims.head_dim
+    kv_d = dims.n_kv_head * dh
+    L = dims.n_layer
+
+    def lin(din, dout, lead=()):
+        w = rng.standard_normal(lead + (din, dout), dtype=np.float32)
+        return {"w": (w * din**-0.5).astype(np.float16)}
+
+    params = {
+        "token_emb": (rng.standard_normal((dims.n_vocab, d),
+                                          dtype=np.float32) * 0.02
+                      ).astype(np.float16),
+        "blocks": {
+            "attn_norm": {"scale": np.ones((L, d), np.float16)},
+            "q": lin(d, d, (L,)), "k": lin(d, kv_d, (L,)),
+            "v": lin(d, kv_d, (L,)), "out": lin(d, d, (L,)),
+            "mlp_norm": {"scale": np.ones((L, d), np.float16)},
+            "gate": lin(d, dims.d_ff, (L,)), "up": lin(d, dims.d_ff, (L,)),
+            "down": lin(dims.d_ff, d, (L,)),
+        },
+        "norm": {"scale": np.ones((d,), np.float16)},
+        "lm_head": lin(d, dims.n_vocab),
+    }
     prompt = jnp.arange(16, dtype=jnp.int32)[None, :] % dims.n_vocab
 
     for bits in (8, 4):
         qparams = quantize_tree(params, bits=bits)
+        # push the remaining host leaves (embeddings, norms) as bf16
+        qparams = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.bfloat16)
+            if isinstance(x, np.ndarray) else x, qparams)
 
         def run():
             return gen_mod.generate_tokens(
