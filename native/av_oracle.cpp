@@ -67,12 +67,12 @@ long read_frames(AVCodecContext* ctx, AVFrame* frame, float* out, long cap,
 
 extern "C" {
 
-// interleaved float PCM -> AAC file. container: "mp4" or "adts".
-// Returns 0 on success.
-long av_encode_aac(const float* pcm, long frames, int ch, int sr,
-                   const char* path, const char* container, int bitrate,
-                   const char* opts) {
-    const AVCodec* codec = avcodec_find_encoder_by_name("aac");
+// interleaved float PCM -> encoded audio file with any named encoder
+// ("aac" + mp4/adts, "libvorbis"/"vorbis" + ogg, ...). Returns 0.
+long av_encode_audio(const float* pcm, long frames, int ch, int sr,
+                     const char* path, const char* codec_name,
+                     const char* container, int bitrate, const char* opts) {
+    const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
     if (!codec) return -1;
     AVFormatContext* oc = nullptr;
     if (avformat_alloc_output_context2(&oc, nullptr, container, path) < 0)
@@ -83,6 +83,7 @@ long av_encode_aac(const float* pcm, long frames, int ch, int sr,
     av_channel_layout_default(&ctx->ch_layout, ch);
     ctx->bit_rate = bitrate;
     ctx->time_base = {1, sr};
+    ctx->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
     if (oc->oformat->flags & AVFMT_GLOBALHEADER)
         ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     apply_opts(ctx, opts);
@@ -136,6 +137,14 @@ long av_encode_aac(const float* pcm, long frames, int ch, int sr,
     av_frame_free(&frame);
     av_packet_free(&pkt);
     return 0;
+}
+
+// back-compat wrapper for the AAC fixtures
+long av_encode_aac(const float* pcm, long frames, int ch, int sr,
+                   const char* path, const char* container, int bitrate,
+                   const char* opts) {
+    return av_encode_audio(pcm, frames, ch, sr, path, "aac", container,
+                           bitrate, opts);
 }
 
 // Decode raw access units with the given AudioSpecificConfig through

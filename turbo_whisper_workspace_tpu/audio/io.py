@@ -226,6 +226,56 @@ def _looks_like_aac(data: bytes) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Ogg Vorbis (native decoder — Ogg demux + Vorbis I core,
+# native/vorbis_decoder.cpp; oracle-tested vs libavcodec in
+# tests/test_vorbis.py)
+
+
+def _vorbis_lib():
+    lib = load_native("vorbis_decoder")
+    lib.vorbis_info.restype = ctypes.c_long
+    lib.vorbis_info.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.vorbis_decode.restype = ctypes.c_long
+    lib.vorbis_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+def vorbis_stream_info(data: bytes) -> dict:
+    lib = _vorbis_lib()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = lib.vorbis_info(data, len(data), ctypes.byref(sr), ctypes.byref(ch))
+    if n < 0:
+        raise AudioDecodeError("not an Ogg Vorbis stream")
+    return {"sample_rate": sr.value, "channels": ch.value, "total_samples": n}
+
+
+def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
+    """Ogg Vorbis bytes → (float32 samples (n, ch) in [-1,1], rate)."""
+    info = vorbis_stream_info(data)
+    lib = _vorbis_lib()
+    cap = info["total_samples"] + 8192
+    out = np.zeros(cap * max(info["channels"], 1), np.float32)
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = lib.vorbis_decode(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        ctypes.byref(sr), ctypes.byref(ch),
+    )
+    if n < 0:
+        raise AudioDecodeError(f"Vorbis decode failed (rc={n})")
+    return out[: n * ch.value].reshape(-1, ch.value), sr.value
+
+
+# ---------------------------------------------------------------------------
 # WAV (stdlib)
 
 
@@ -315,6 +365,9 @@ def read_audio_file(
         elif _looks_like_aac(data):
             samples, sr = decode_aac(data)
             audio = samples.mean(axis=1) if samples.ndim == 2 else samples
+        elif data[:4] == b"OggS":
+            samples, sr = decode_vorbis(data)
+            audio = samples.mean(axis=1) if samples.ndim == 2 else samples
         elif _looks_like_mp3(data):
             # an ID3 tag can front either stream. The ADTS sniffer is
             # strict (exact sync + layer bits right after the tag) while
@@ -354,6 +407,10 @@ def get_audio_duration(path: str) -> float:
         if _looks_like_aac(head):
             with open(path, "rb") as f:
                 info = aac_stream_info(f.read())
+            return info["total_samples"] / info["sample_rate"]
+        if head[:4] == b"OggS":
+            with open(path, "rb") as f:
+                info = vorbis_stream_info(f.read())
             return info["total_samples"] / info["sample_rate"]
         if _looks_like_mp3(head):
             with open(path, "rb") as f:
