@@ -81,3 +81,52 @@ def test_quantized_decode_matches_dense(rng):
     # random-weight logits are diffuse; require mostly-identical tokens
     agree = (np.asarray(dense.tokens) == np.asarray(quant.tokens)).mean()
     assert agree > 0.7, f"token agreement {agree}"
+
+
+def test_self_attention_lanes_matches_gathered(rng):
+    """Lane-cache beam attention (no physical reorder) == ordinary
+    attention over the PHYSICALLY GATHERED cache: for every beam k,
+    selecting lane lane_map[b,k,t] at position t must reproduce the
+    classic regathered-cache result. Runs the Pallas kernel in interpret
+    mode and the XLA twin, both against the dense oracle."""
+    import jax.numpy as jnp
+
+    b, h, k, t, dh = 2, 3, 4, 16, 64
+    valid = 11
+    kq = rng.integers(-127, 128, (b, h, k, t, dh)).astype(np.int8)
+    vq = rng.integers(-127, 128, (b, h, k, t, dh)).astype(np.int8)
+    ks = (rng.random((b, h, k, t)) * 0.02 + 0.01).astype(np.float32)
+    vs = (rng.random((b, h, k, t)) * 0.02 + 0.01).astype(np.float32)
+    q = rng.standard_normal((b, h, k, dh)).astype(np.float32)
+    lane_map = rng.integers(0, k, (b, k, t)).astype(np.int32)
+
+    # dense oracle: gather each beam's K/V rows by lane_map, run plain
+    # softmax attention over the valid prefix
+    ref = np.zeros((b, h, k, dh), np.float32)
+    for bi in range(b):
+        for ki in range(k):
+            lanes = lane_map[bi, ki, :valid]
+            kk = (kq[bi, :, lanes, np.arange(valid)]
+                  * ks[bi, :, lanes, np.arange(valid), None])
+            vv = (vq[bi, :, lanes, np.arange(valid)]
+                  * vs[bi, :, lanes, np.arange(valid), None])
+            # kk/vv: (valid, h, dh) → (h, valid, dh)
+            kk = kk.transpose(1, 0, 2)
+            vv = vv.transpose(1, 0, 2)
+            logits = np.einsum("hd,htd->ht", q[bi, :, ki], kk) * dh**-0.5
+            w = np.exp(logits - logits.max(-1, keepdims=True))
+            w /= w.sum(-1, keepdims=True)
+            ref[bi, :, ki] = np.einsum("ht,htd->hd", w, vv)
+
+    xla = np.asarray(att.self_attention_int8_lanes_xla(
+        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(ks),
+        jnp.asarray(vq), jnp.asarray(vs), jnp.asarray(lane_map), valid,
+    ))
+    np.testing.assert_allclose(xla, ref, atol=2e-2, rtol=2e-2)
+
+    pall = np.asarray(att.self_attention_int8_lanes(
+        jnp.asarray(q, jnp.float32), jnp.asarray(kq), jnp.asarray(ks),
+        jnp.asarray(vq), jnp.asarray(vs), jnp.asarray(lane_map), valid,
+        interpret=True,
+    ))
+    np.testing.assert_allclose(pall, ref, atol=2e-2, rtol=2e-2)

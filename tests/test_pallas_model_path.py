@@ -162,3 +162,46 @@ def test_decoder_quant_self_kv_step_interpret_matches_xla(model, monkeypatch):
     ref = run("off")
     out = run("interpret")
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_decoder_lane_cache_step_interpret_matches_xla(model, monkeypatch):
+    """Beam lane-cache decode step (beam>1, 6-D quantized cache +
+    lane_map) through decoder_forward: the Pallas lane kernel
+    (self_attention_int8_lanes, interpret) vs the XLA twin — the call
+    site bench's beam pipeline takes every step."""
+    params, dims = model
+    ckv = _cross_kv(params, dims)
+    beam = 3
+    b = 2
+    prefill = jnp.array([[11, 3, 7], [42, 9, 1]], jnp.int32)
+    step_tok = jnp.array([[500], [300], [12], [7], [99], [1]], jnp.int32)
+    # beams share one cross-KV per batch row → ckv stays at B=2
+    lane_map = jnp.zeros((b, beam, 8), jnp.int32).at[:, :, 3].set(
+        jnp.arange(beam)[None, :])
+
+    def run(mode):
+        monkeypatch.setenv("TWW_PALLAS", mode)
+        jax.clear_caches()
+        try:
+            cache = whisper.init_kv_cache(dims, b, max_len=8, quantize=True)
+            _, cache = whisper.decoder_forward(
+                params, dims, prefill, ckv, kv_cache=cache, pos=0)
+            cache = whisper.beam_lane_cache(cache, beam)
+            logits, new_cache = whisper.decoder_forward(
+                params, dims, step_tok, ckv, kv_cache=cache, pos=3,
+                beam=beam, lane_map=lane_map)
+            return np.asarray(logits), new_cache
+        finally:
+            monkeypatch.delenv("TWW_PALLAS")
+            jax.clear_caches()
+
+    ref, ref_cache = run("off")
+    out, out_cache = run("interpret")
+    assert ref_cache["k_q"].shape == (
+        dims.n_text_layer, b, dims.n_text_head, beam, 8,
+        dims.n_text_state // dims.n_text_head)
+    # new rows land in each beam's own lane at pos=3
+    kq = np.asarray(ref_cache["k_q"])
+    assert np.abs(kq[:, :, :, :, 3]).sum() > 0
+    assert np.abs(kq[:, :, :, 1:, :3]).sum() == 0  # prefix only in lane 0
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)

@@ -73,17 +73,24 @@ def beam_decode_features(
     static_mask = rules.static_mask()
     begin_mask = rules.begin_mask()
 
-    # Prefill once at B rows (every beam shares the prompt), then tile
-    # the self-KV cache to B·K. quantize_cache stores the self-KV int8
-    # with per-(position, head) scales: the per-step beam reorder is the
-    # dominant decode cost and int8 halves its traffic (4.2x faster than
-    # the original bf16 jnp.take, scripts/profile_beam_ops.py).
+    # Prefill once at B rows (every beam shares the prompt).
+    # quantize_cache=True additionally switches the self-KV cache to the
+    # int8 "lane" layout (L, B, H, K, T, Dh): lanes are NEVER physically
+    # reordered across steps — a (B, K, T) lane_map records which lane
+    # owns each position for the current beams and the attention kernel
+    # selects lanes in VMEM (ops/attention.self_attention_int8_lanes).
+    # The per-step cache regather this replaces was the single largest
+    # beam-decode cost (~430 MB read+write per step at batch 32).
     cache_b = wm.init_kv_cache(dims, b, max_len=total, dtype=dtype,
                                quantize=quantize_cache)
     prefill_logits, cache_b = wm.decoder_forward(
         params, dims, prompt, cross_kv, cache_b, pos=0
     )
-    cache = jax.tree.map(lambda x: jnp.repeat(x, k, axis=1), cache_b)
+    if quantize_cache:
+        cache = wm.beam_lane_cache(cache_b, k)
+    else:
+        cache = jax.tree.map(lambda x: jnp.repeat(x, k, axis=1), cache_b)
+    lane_map0 = jnp.zeros((b, k, total), jnp.int32)
     no_speech_probs = jax.nn.softmax(
         prefill_logits[:, sot_index].astype(jnp.float32), axis=-1
     )[:, sp.no_speech]
@@ -98,6 +105,7 @@ def beam_decode_features(
         alive_tokens: jax.Array     # (B, K, total)
         alive_scores: jax.Array     # (B, K) sum logprob
         cache: dict
+        lane_map: jax.Array         # (B, K, total) int32 (lane cache only)
         last_logits: jax.Array      # (B*K, V)
         last_tok: jax.Array         # (B*K,)
         penult_tok: jax.Array       # (B*K,)
@@ -121,6 +129,7 @@ def beam_decode_features(
         alive_tokens=tokens0,
         alive_scores=alive_scores,
         cache=cache,
+        lane_map=lane_map0,
         last_logits=jnp.repeat(
             prefill_logits[:, -1].astype(jnp.float32), k, axis=0
         ),
@@ -203,21 +212,37 @@ def beam_decode_features(
         flat_src = (
             jnp.arange(b)[:, None] * k + alive_src
         ).reshape(bk)                                        # (B*K,)
-        # Cache reorder: the single largest beam-decode cost. Measured
-        # on v5e (scripts/profile_beam_ops.py, (4,160,131,1280) bf16):
-        # jnp.take on axis 1 moves the cache at ~185 GB/s (4.6 ms/step);
-        # a one-hot MXU copy is WORSE (5.7 ms); flattening (L, B·K) into
-        # one leading axis and taking axis 0 lowers to large contiguous
-        # row copies at ~300 GB/s (2.85 ms/step) — use that.
-        # Rank-agnostic: bf16 leaves are (L, B·K, T, D); quantized leaves
-        # are (L, B·K, H, T, Dh) payloads and (L, B·K, H, T) scales.
-        def regather(x):
-            l, bk_ = x.shape[:2]
-            flat = x.reshape((l * bk_,) + x.shape[2:])
-            idx = (jnp.arange(l)[:, None] * bk_ + flat_src[None]).reshape(-1)
-            return jnp.take(flat, idx, axis=0).reshape(x.shape)
+        if quantize_cache:
+            # Lane cache: the KV cache itself is NEVER moved. Only the
+            # (B, K, T) int32 ancestry map is regathered (~80 KB vs the
+            # ~430 MB/step physical reorder it replaces); the new row
+            # this step writes belongs to lane k by construction.
+            cache = c.cache
+            lane_map = jnp.take_along_axis(
+                c.lane_map, alive_src[:, :, None], axis=1)
+            lane_map = jax.lax.dynamic_update_slice(
+                lane_map,
+                jnp.broadcast_to(
+                    jnp.arange(k, dtype=jnp.int32)[None, :, None], (b, k, 1)
+                ),
+                (0, 0, pos),
+            )
+        else:
+            # bf16 cache: physical reorder. Measured on v5e
+            # (scripts/profile_beam_ops.py, (4,160,131,1280) bf16):
+            # jnp.take on axis 1 moves the cache at ~185 GB/s (4.6
+            # ms/step); a one-hot MXU copy is WORSE (5.7 ms); flattening
+            # (L, B·K) into one leading axis and taking axis 0 lowers to
+            # large contiguous row copies at ~300 GB/s — use that.
+            def regather(x):
+                l, bk_ = x.shape[:2]
+                flat = x.reshape((l * bk_,) + x.shape[2:])
+                idx = (jnp.arange(l)[:, None] * bk_
+                       + flat_src[None]).reshape(-1)
+                return jnp.take(flat, idx, axis=0).reshape(x.shape)
 
-        cache = jax.tree.map(regather, c.cache)
+            cache = jax.tree.map(regather, c.cache)
+            lane_map = c.lane_map
         last_tok_g = jnp.take(c.last_tok, flat_src)
         ts_floor_g = jnp.take(c.ts_floor, flat_src)
 
@@ -227,13 +252,14 @@ def beam_decode_features(
 
         logits, cache = wm.decoder_forward(
             params, dims, next_tok[:, None], cross_kv, cache, pos=pos,
-            beam=k,
+            beam=k, lane_map=lane_map if quantize_cache else None,
         )
         return Carry(
             step=c.step + 1,
             alive_tokens=alive_tokens,
             alive_scores=alive_top,
             cache=cache,
+            lane_map=lane_map,
             last_logits=logits[:, 0].astype(jnp.float32),
             last_tok=next_tok,
             penult_tok=new_penult,

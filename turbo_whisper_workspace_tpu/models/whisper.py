@@ -387,6 +387,20 @@ def init_kv_cache(
     }
 
 
+def beam_lane_cache(cache_b: Params, beam: int) -> Params:
+    """Quantized (L, B, H, T, …) prefill cache → beam "lane" layout
+    (L, B, H, K, T, …) with the shared prompt prefix living in lane 0
+    ONLY (lane_map starts all-zero, so every beam reads it from there —
+    no K× prefix duplication). Lanes 1..K-1 start zeroed and are filled
+    as beams write their own rows (decoder_forward lane_map path)."""
+    def expand(x):
+        z = jnp.zeros(x.shape[:3] + (beam,) + x.shape[3:], x.dtype)
+        return jax.lax.dynamic_update_slice(
+            z, x[:, :, :, None], (0,) * z.ndim)
+
+    return jax.tree.map(expand, cache_b)
+
+
 def _quantize_kv_rows(x: jax.Array, n_head: int):
     """(B, T, D) → head-major int8 payload (B, H, T, Dh) + per-(B, H, T)
     bf16 scales."""
@@ -407,6 +421,7 @@ def decoder_forward(
     kv_cache: Params | None = None,
     pos: jax.Array | int = 0,
     beam: int = 1,
+    lane_map: jax.Array | None = None,
 ):
     """Decoder forward.
 
@@ -419,6 +434,12 @@ def decoder_forward(
     decode step reads ONE cross-KV copy per batch element and feeds K
     query rows through it, instead of physically tiling the (dominant)
     int8 cross-KV traffic K×. Requires T == 1 (single-step decode).
+
+    lane_map (B, K, T) int32 (with beam > 1 and a 6-D quantized "lane"
+    cache (L, B, H, K, T, Dh) from beam_lane_cache): the self-KV cache
+    is never physically reordered across steps; lane_map names, per
+    current beam k and position t, the lane that wrote that position.
+    Beam row b·K+k always writes its new KV row into lane k.
     """
     dec = params["decoder"]
     dtype = dec["token_emb"].dtype
@@ -434,11 +455,16 @@ def decoder_forward(
         kv_cache = init_kv_cache(dims, b, max_len=t, dtype=dtype)
         pos = 0
     quant_cache = "k_q" in kv_cache
+    lane_cache = quant_cache and kv_cache["k_q"].ndim == 6
+    if lane_cache:
+        assert lane_map is not None and beam == kv_cache["k_q"].shape[3]
+        assert t == 1, "lane cache is single-step decode only"
 
-    # Cache length = position axis: quant layout is (L, B, H, T, Dh),
-    # bf16 layout is (L, B, T, D) — indexing a fixed leaf axis 2 would
-    # read the head axis of the quant cache (the round-3 prefill crash).
-    cache_len = (kv_cache["k_q"].shape[3] if "k_q" in kv_cache
+    # Cache length = position axis: quant layout is (L, B, H, T, Dh)
+    # (lane layout (L, B, H, K, T, Dh)), bf16 layout is (L, B, T, D) —
+    # indexing a fixed leaf axis 2 would read the head axis of the quant
+    # cache (the round-3 prefill crash).
+    cache_len = (kv_cache["k_q"].shape[-2] if "k_q" in kv_cache
                  else kv_cache["k"].shape[2])
     # positions < pos + t are valid keys
     key_pos = jnp.arange(cache_len)
@@ -466,7 +492,52 @@ def decoder_forward(
         q = linear(h, block["attn"]["q"])
         k = linear(h, block["attn"]["k"])
         v = linear(h, block["attn"]["v"])
-        if quant_cache:
+        if lane_cache:
+            br = b // beam
+            dh = dims.n_text_state // n_head
+            kq_new, ks_new = _quantize_kv_rows(k, n_head)   # (BK,H,1,Dh)
+            vq_new, vs_new = _quantize_kv_rows(v, n_head)
+
+            def _lane_rows(x):      # (BK,H,1,Dh) → (1,br,H,K,1,Dh)
+                return jnp.moveaxis(
+                    x.reshape((br, beam) + x.shape[1:]), 1, 2)[None]
+
+            cache = {
+                "k_q": jax.lax.dynamic_update_slice(
+                    cache["k_q"], _lane_rows(kq_new).astype(jnp.int8),
+                    (li, 0, 0, 0, pos, 0)),
+                "k_s": jax.lax.dynamic_update_slice(
+                    cache["k_s"], _lane_rows(ks_new).astype(cache["k_s"].dtype),
+                    (li, 0, 0, 0, pos)),
+                "v_q": jax.lax.dynamic_update_slice(
+                    cache["v_q"], _lane_rows(vq_new).astype(jnp.int8),
+                    (li, 0, 0, 0, pos, 0)),
+                "v_s": jax.lax.dynamic_update_slice(
+                    cache["v_s"], _lane_rows(vs_new).astype(cache["v_s"].dtype),
+                    (li, 0, 0, 0, pos)),
+            }
+            qh_self = q[:, 0].reshape(br, beam, n_head, dh).transpose(
+                0, 2, 1, 3)                                 # (br,H,K,Dh)
+            mode = _pallas_mode()
+            if mode == "off":
+                from ..ops.attention import self_attention_int8_lanes_xla
+
+                attn_h = self_attention_int8_lanes_xla(
+                    qh_self, _ds(cache["k_q"], li), _ds(cache["k_s"], li),
+                    _ds(cache["v_q"], li), _ds(cache["v_s"], li),
+                    lane_map, pos + 1,
+                )
+            else:
+                from ..ops.attention import self_attention_int8_lanes
+
+                attn_h = self_attention_int8_lanes(
+                    qh_self, _ds(cache["k_q"], li), _ds(cache["k_s"], li),
+                    _ds(cache["v_q"], li), _ds(cache["v_s"], li),
+                    lane_map, pos + 1, interpret=(mode == "interpret"),
+                )
+            attn = attn_h.transpose(0, 2, 1, 3).reshape(
+                b, t, dims.n_text_state)
+        elif quant_cache:
             kq_new, ks_new = _quantize_kv_rows(k, n_head)   # (B,H,t,Dh)
             vq_new, vs_new = _quantize_kv_rows(v, n_head)
             cache = {

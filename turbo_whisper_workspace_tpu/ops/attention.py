@@ -267,6 +267,132 @@ def self_attention_int8(
     )(vl, q, kq, ks, vq, vs)
 
 
+def _self_int8_lanes_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                            lane_ref, o_ref, *, scale: float):
+    """Beam-decode SELF-attention over an UN-reordered ("lane") KV cache
+    for ONE batch element.
+
+    Beam search classically reorders the whole self-KV cache every step
+    to match the surviving hypotheses — at beam 5 / batch 32 that
+    read+write was the single largest decode-step cost (~430 MB/step,
+    scripts/profile_beam_ops.py). Here the cache is never moved: lane l
+    permanently holds whatever hypothesis occupied beam slot l when each
+    position was written, and a tiny (K, T) int32 `lane_map` records, for
+    the CURRENT beam k, which lane owns position t. The kernel computes
+    scores against ALL K lanes (K× more MXU flops — nanoseconds at these
+    shapes) and keeps exactly the (lane == lane_map[k, t]) entries, so
+    HBM sees one contiguous read of the cache and zero reorder traffic.
+
+    Blocks: q (H, K, Dh) bf16 — beams ride the query axis; kq/vq
+    (H, K·T, Dh) int8 (lane-major: lane l occupies rows [l·T, (l+1)·T));
+    ks/vs (H, K·T) scales; lane_map (K, T) int32; valid key length is
+    scalar-prefetched."""
+    valid = len_ref[0]
+    q = q_ref[0]                                    # (H, K, Dh)
+    kq = kq_ref[0].astype(jnp.bfloat16)             # (H, K*T, Dh)
+    vq = vq_ref[0].astype(jnp.bfloat16)
+    ks = ks_ref[0].astype(jnp.float32)              # (H, K*T)
+    vs = vs_ref[0].astype(jnp.float32)
+    lane_map = lane_ref[0]                          # (K, T)
+    k_beams, t = lane_map.shape
+    scores = jax.lax.dot_general(
+        q, kq, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                               # (H, K, K*T)
+    scores = scores * (ks[:, None, :] * scale)
+    # keep (lane == lane_map[k, t]) & (t < valid); everything else -inf
+    sel = scores.reshape(scores.shape[0], k_beams, k_beams, t)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (k_beams, k_beams, t), 1)
+    pos_id = jax.lax.broadcasted_iota(jnp.int32, (k_beams, k_beams, t), 2)
+    keep = (lane_id == lane_map[:, None, :]) & (pos_id < valid)
+    scores = jnp.where(keep[None], sel, NEG_INF).reshape(scores.shape)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp2(scores - m)
+    w = p * pl.reciprocal(jnp.sum(p, -1, keepdims=True), approx=False)
+    w = (w * vs[:, None, :]).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        w, vq, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                               # (H, K, Dh)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def self_attention_int8_lanes(
+    q: jax.Array,         # (B, H, K, Dh) bf16 — beam queries
+    kq: jax.Array,        # (B, H, K, T, Dh) int8 lane cache
+    ks: jax.Array,        # (B, H, K, T) scales
+    vq: jax.Array,        # (B, H, K, T, Dh) int8
+    vs: jax.Array,        # (B, H, K, T)
+    lane_map: jax.Array,  # (B, K, T) int32
+    valid_len,            # scalar int32
+    interpret: bool = False,
+) -> jax.Array:
+    """Beam-decode self-attention over the un-reordered lane cache.
+    Returns (B, H, K, Dh) in q's dtype."""
+    import math
+
+    b, h, k, dh = q.shape
+    t = kq.shape[3]
+    scale = (dh**-0.5) * math.log2(math.e)
+    vl = jnp.full((1,), valid_len, jnp.int32)
+    kqf = kq.reshape(b, h, k * t, dh)
+    vqf = vq.reshape(b, h, k * t, dh)
+    ksf = ks.reshape(b, h, k * t)
+    vsf = vs.reshape(b, h, k * t)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, k, dh), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, k * t, dh), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, k * t), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, h, k * t, dh), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, k * t), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, k, t), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, k, dh), lambda i, *_: (i, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_self_int8_lanes_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, k, dh), q.dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * k * k * t * dh,
+            bytes_accessed=2 * b * h * k * t * dh + 4 * b * h * k * dh,
+            transcendentals=b * h * k * k * t,
+        ),
+        interpret=interpret,
+    )(vl, q, kqf, ksf, vqf, vsf, lane_map)
+
+
+def self_attention_int8_lanes_xla(
+    q: jax.Array,         # (B, H, K, Dh)
+    kq: jax.Array,        # (B, H, K, T, Dh) int8 lane cache
+    ks: jax.Array,        # (B, H, K, T)
+    vq: jax.Array,        # (B, H, K, T, Dh) int8
+    vs: jax.Array,        # (B, H, K, T)
+    lane_map: jax.Array,  # (B, K, T) int32
+    valid_len,            # scalar int32
+) -> jax.Array:
+    """Plain-XLA twin of the lane kernel (CPU fallback / test oracle)."""
+    b, h, k, dh = q.shape
+    t = kq.shape[3]
+    scale = dh**-0.5
+    scores = jnp.einsum(
+        "bhkd,bhltd->bhklt", q, kq.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * (ks.astype(jnp.float32)[:, :, None] * scale)
+    lane_id = jnp.arange(k)[None, :, None]
+    pos_id = jnp.arange(t)[None, None, :]
+    keep = (lane_id == lane_map[..., None, :]) & (pos_id < valid_len)
+    scores = jnp.where(keep[:, None], scores, NEG_INF)
+    flat = scores.reshape(b, h, k, k * t)
+    w = jax.nn.softmax(flat, axis=-1).reshape(b, h, k, k, t)
+    w = (w * vs.astype(jnp.float32)[:, :, None]).astype(q.dtype)
+    return jnp.einsum("bhklt,bhltd->bhkd", w, vq.astype(q.dtype))
+
+
 def self_attention_int8_xla(
     q: jax.Array,         # (B, H, Tq, Dh)
     kq: jax.Array,        # (B, H, T, Dh) int8
