@@ -213,6 +213,7 @@ def bench_pipeline_beam5(params, dims, drules, prompt, audio):
         res = beam.beam_decode_features(
             params, dims, ckv, prompt, rules=drules, beam_size=BEAM,
             max_len=DECODE_LEN, quantize_cache=True,
+            lane_cache=os.environ.get("BENCH_LANES", "1") == "1",
         )
         # diarization stage on the same audio: sliding segmentation
         # windows (10 s / 1 s step) + attentive-stats embedding crops,

@@ -75,37 +75,45 @@ def main():
     audio = jnp.asarray(rng.standard_normal((B, mel_ops.N_SAMPLES), np.float32) * 0.1)
     results = {}
 
+    # NB: params are passed as jit ARGUMENTS everywhere (never closed
+    # over): closure'd weights lower as embedded jaxpr consts and the
+    # resulting giant module wedges the remote compile service for tens
+    # of minutes (observed: the encoder-only program never finished).
     mel = jax.jit(lambda a: mel_ops.log_mel_spectrogram(a, num_mels=dims.n_mels))
     mels = mel(audio)
-    enc = jax.jit(lambda m: wm.encoder_forward(params, dims, m))
+    enc = jax.jit(lambda p, m: wm.encoder_forward(p, dims, m))
     if "encoder" not in skip:
-        timeit("encoder B=32", lambda: enc(mels), args.iters, results)
-    feats = enc(mels)
-    ckv_q = jax.jit(lambda f: wm.precompute_cross_kv(params, dims, f, quantize=True))
+        timeit("encoder B=32", lambda: enc(params, mels), args.iters, results)
+    feats = enc(params, mels)
+    ckv_q = jax.jit(
+        lambda p, f: wm.precompute_cross_kv(p, dims, f, quantize=True))
     if "ckv" not in skip:
-        timeit("cross_kv+int8", lambda: ckv_q(feats), args.iters, results)
-    ckvq = ckv_q(feats)
+        timeit("cross_kv+int8", lambda: ckv_q(params, feats),
+               args.iters, results)
+    ckvq = ckv_q(params, feats)
 
     if "beam" not in skip:
-        bd = jax.jit(lambda c: beam.beam_decode_features(
-            params, dims, c, prompt, rules=drules, beam_size=K,
-            max_len=S).tokens)
-        timeit(f"beam{K} decode {S} steps", lambda: bd(ckvq), args.iters, results)
+        # quantize_cache=True = the shipping/bench config (lane cache)
+        bd = jax.jit(lambda p, c: beam.beam_decode_features(
+            p, dims, c, prompt, rules=drules, beam_size=K,
+            max_len=S, quantize_cache=True).tokens)
+        timeit(f"beam{K} decode {S} steps", lambda: bd(params, ckvq),
+               args.iters, results)
 
     if "greedybk" not in skip:
         # greedy at B*K rows with tiled KV: what the beam forward costs
         # without any beam bookkeeping/gather
         ckv_bk = jax.tree.map(lambda x: jnp.repeat(x, K, axis=1), ckvq)
         prompt_bk = jnp.repeat(prompt, K, axis=0)
-        gd = jax.jit(lambda c: greedy.greedy_decode_features(
-            params, dims, c, prompt_bk, rules=drules, max_len=S).tokens)
-        timeit(f"greedy decode B*K={B*K} rows", lambda: gd(ckv_bk),
+        gd = jax.jit(lambda p, c: greedy.greedy_decode_features(
+            p, dims, c, prompt_bk, rules=drules, max_len=S).tokens)
+        timeit(f"greedy decode B*K={B*K} rows", lambda: gd(params, ckv_bk),
                args.iters, results)
 
     if "greedy" not in skip:
-        g1 = jax.jit(lambda c: greedy.greedy_decode_features(
-            params, dims, c, prompt, rules=drules, max_len=S).tokens)
-        timeit(f"greedy decode B={B} rows", lambda: g1(ckvq),
+        g1 = jax.jit(lambda p, c: greedy.greedy_decode_features(
+            p, dims, c, prompt, rules=drules, max_len=S).tokens)
+        timeit(f"greedy decode B={B} rows", lambda: g1(params, ckvq),
                args.iters, results)
 
     if "diar" not in skip:
@@ -118,7 +126,7 @@ def main():
         n_seg, n_emb = B * 21, B * 15
 
         @jax.jit
-        def diar(audio):
+        def diar(seg_params, e_params, audio):
             diar_mels = mel_ops.log_mel_spectrogram(audio, num_mels=seg_dims.n_mels)
             seg_mels = jax.lax.dynamic_slice_in_dim(
                 jnp.tile(diar_mels, (-(-n_seg // B), 1, 1)), 0, n_seg, 0
@@ -131,7 +139,7 @@ def main():
             return jnp.sum(seg_logits) + jnp.sum(embs)
 
         timeit(f"diar forwards seg={n_seg} emb={n_emb}",
-               lambda: diar(audio), args.iters, results)
+               lambda: diar(seg_params, e_params, audio), args.iters, results)
 
     print(json.dumps(results))
 

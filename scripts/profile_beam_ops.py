@@ -80,6 +80,36 @@ def main():
         return jax.lax.fori_loop(0, S, body, cand0)
 
     @jax.jit
+    def topk_raw_lse(logits0):
+        # shipping scheme: per-beam top-2K on RAW logits + lse from the
+        # top-1, then the beam merge — no (B*K, V) log_softmax pass
+        def body(i, lg):
+            s1, i1 = jax.lax.top_k(lg, 2 * K)
+            mx = s1[:, 0]
+            lse = mx + jnp.log(jnp.sum(jnp.exp(lg - mx[:, None]), axis=-1))
+            s2, i2 = jax.lax.top_k(
+                (s1 - lse[:, None]).reshape(B, K * 2 * K), 2 * K)
+            return lg + jnp.sum(s2) * 1e-12
+        return jax.lax.fori_loop(0, S, body, logits0)
+
+    def topk_chunked(chunk):
+        vpad = -(-V // chunk) * chunk
+
+        @jax.jit
+        def run(logits0):
+            def body(i, lg):
+                p = jnp.pad(lg, ((0, 0), (0, vpad - V)),
+                            constant_values=-1e30)
+                sA, iA = jax.lax.top_k(
+                    p.reshape(B * K, vpad // chunk, chunk), 2 * K)
+                sB, iB = jax.lax.top_k(
+                    sA.reshape(B * K, (vpad // chunk) * 2 * K), 2 * K)
+                s2, i2 = jax.lax.top_k(sB.reshape(B, K * 2 * K), 2 * K)
+                return lg + jnp.sum(s2) * 1e-12
+            return jax.lax.fori_loop(0, S, body, logits0)
+        return run
+
+    @jax.jit
     def mask_softmax(logits0):
         mask = jnp.zeros((V,), jnp.float32).at[:100].set(-1e30)
         def body(i, lg):
@@ -194,6 +224,12 @@ def main():
 
     timeit(f"top_k(2K) flat (B,K*V) x{S}", topk_flat2, cand, args.iters, results)
     timeit(f"top_k two-stage x{S}", topk_two_stage, cand, args.iters, results)
+    timeit(f"top_k raw+lse (shipping) x{S}", topk_raw_lse, logits,
+           args.iters, results)
+    timeit(f"top_k chunked c=1024 x{S}", topk_chunked(1024), logits,
+           args.iters, results)
+    timeit(f"top_k chunked c=4096 x{S}", topk_chunked(4096), logits,
+           args.iters, results)
     timeit(f"mask+log_softmax (B*K,V) x{S}", mask_softmax, logits,
            args.iters, results)
     timeit(f"self-KV gather (L,B*K,{TOTAL},{D}) x{S}", cache_gather, cache,

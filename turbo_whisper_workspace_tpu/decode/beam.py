@@ -45,7 +45,7 @@ class BeamResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "rules", "beam_size", "max_len", "sot_index",
-                     "quantize_cache"),
+                     "quantize_cache", "lane_cache"),
 )
 def beam_decode_features(
     params,
@@ -58,6 +58,7 @@ def beam_decode_features(
     max_len: int = 224,
     sot_index: int = 0,
     quantize_cache: bool = False,
+    lane_cache: bool = True,
 ) -> BeamResult:
     sp = rules.specials
     b, p = prompt.shape
@@ -81,14 +82,16 @@ def beam_decode_features(
     # selects lanes in VMEM (ops/attention.self_attention_int8_lanes).
     # The per-step cache regather this replaces was the single largest
     # beam-decode cost (~430 MB read+write per step at batch 32).
+    lane_cache = lane_cache and quantize_cache
     cache_b = wm.init_kv_cache(dims, b, max_len=total, dtype=dtype,
                                quantize=quantize_cache)
     prefill_logits, cache_b = wm.decoder_forward(
         params, dims, prompt, cross_kv, cache_b, pos=0
     )
-    if quantize_cache:
+    if lane_cache:
         cache = wm.beam_lane_cache(cache_b, k)
     else:
+        # physical per-step regather path (lane_cache=False A/B fallback)
         cache = jax.tree.map(lambda x: jnp.repeat(x, k, axis=1), cache_b)
     lane_map0 = jnp.zeros((b, k, total), jnp.int32)
     no_speech_probs = jax.nn.softmax(
@@ -157,9 +160,6 @@ def beam_decode_features(
             static_mask=static_mask,
             begin_mask=begin_mask,
         )
-        logp = jax.nn.log_softmax(masked, axis=-1)          # (B*K, V)
-        cand = c.alive_scores.reshape(bk, 1) + logp          # (B*K, V)
-
         # top 2K candidates per batch item — enough to fill K alive
         # (non-EOT) beams even if K candidates are EOT. Two-stage exact
         # top-k: any global top-2K candidate is inside its own beam's
@@ -167,7 +167,17 @@ def beam_decode_features(
         # K·2K survivors selects the same set as one top-2K over K·V —
         # at a fraction of the sort cost (XLA top_k cost grows with row
         # length; the merge rows are only 2K² wide).
-        s1, i1 = jax.lax.top_k(cand, 2 * k)                  # (B*K, 2K)
+        #
+        # The per-beam top-2K runs on RAW masked logits (per-row rank ==
+        # logp rank: log_softmax subtracts a per-row constant), and the
+        # row logsumexp is recovered from the top-1 (the exact row max)
+        # plus one fused reduction — no (B·K, V) log_softmax
+        # materialization per step.
+        s1_raw, i1 = jax.lax.top_k(masked, 2 * k)            # (B*K, 2K)
+        row_max = s1_raw[:, 0]
+        lse = row_max + jnp.log(
+            jnp.sum(jnp.exp(masked - row_max[:, None]), axis=-1))
+        s1 = c.alive_scores.reshape(bk, 1) + (s1_raw - lse[:, None])
         top_scores, m2 = jax.lax.top_k(
             s1.reshape(b, k * 2 * k), 2 * k)                 # (B, 2K)
         src_beam = m2 // (2 * k)                             # (B, 2K)
@@ -212,7 +222,7 @@ def beam_decode_features(
         flat_src = (
             jnp.arange(b)[:, None] * k + alive_src
         ).reshape(bk)                                        # (B*K,)
-        if quantize_cache:
+        if lane_cache:
             # Lane cache: the KV cache itself is NEVER moved. Only the
             # (B, K, T) int32 ancestry map is regathered (~80 KB vs the
             # ~430 MB/step physical reorder it replaces); the new row
@@ -252,7 +262,7 @@ def beam_decode_features(
 
         logits, cache = wm.decoder_forward(
             params, dims, next_tok[:, None], cross_kv, cache, pos=pos,
-            beam=k, lane_map=lane_map if quantize_cache else None,
+            beam=k, lane_map=lane_map if lane_cache else None,
         )
         return Carry(
             step=c.step + 1,

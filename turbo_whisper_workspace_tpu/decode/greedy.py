@@ -124,8 +124,6 @@ def greedy_decode_features(
             static_mask=static_mask,
             begin_mask=begin_mask,
         )
-        logp = jax.nn.log_softmax(masked, axis=-1)
-
         # gumbel-max: argmax(logits + T·G) samples softmax(logits/T) and
         # degenerates to exact argmax at T=0; the T=0 branch (the
         # shipping greedy path) skips the full-vocab RNG draw entirely
@@ -138,7 +136,13 @@ def greedy_decode_features(
         next_tok = jax.lax.cond(
             temperature > 0.0, _sample, lambda m: jnp.argmax(m, axis=-1), masked
         ).astype(jnp.int32)
-        tok_logp = jnp.take_along_axis(logp, next_tok[:, None], axis=-1)[:, 0]
+        # log p(tok) = logit(tok) - logsumexp(row), WITHOUT materializing
+        # a (B, V) log_softmax: two fused reduction passes instead of a
+        # full-vocab write + re-read every step
+        mx = jnp.max(masked, axis=-1)
+        lse = mx + jnp.log(jnp.sum(jnp.exp(masked - mx[:, None]), axis=-1))
+        chosen = jnp.take_along_axis(masked, next_tok[:, None], axis=-1)[:, 0]
+        tok_logp = chosen - lse
 
         next_tok = jnp.where(c.finished, sp.eot, next_tok)
         sum_logprobs = c.sum_logprobs + jnp.where(c.finished, 0.0, tok_logp)

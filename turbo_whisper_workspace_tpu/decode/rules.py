@@ -118,13 +118,16 @@ class DecodeRules:
         banned = banned & jnp.logical_not(is_begin)  # begin_mask governs step 0
         logits = jnp.where(banned, NEG_INF, logits)
 
-        # timestamp-probability rule on the post-mask distribution
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ts_logp = jax.nn.logsumexp(
-            jnp.where(is_ts_tok[None], logp, NEG_INF), axis=-1
+        # timestamp-probability rule on the post-mask distribution.
+        # Computed on RAW masked logits: logp = logits - lse(row) shifts
+        # both sides of the comparison by the same per-row constant, so
+        # logsumexp(ts logp) > max(text logp) ⟺ the same on raw logits —
+        # skipping a full-vocab log_softmax materialization per step.
+        ts_lse = jax.nn.logsumexp(
+            jnp.where(is_ts_tok[None], logits, NEG_INF), axis=-1
         )
-        max_text_logp = jnp.max(jnp.where(is_ts_tok[None], NEG_INF, logp), axis=-1)
-        force_ts = ts_logp > max_text_logp                 # (B,)
+        max_text = jnp.max(jnp.where(is_ts_tok[None], NEG_INF, logits), axis=-1)
+        force_ts = ts_lse > max_text                       # (B,)
         logits = jnp.where(
             force_ts[:, None] & ~is_ts_tok[None], NEG_INF, logits
         )

@@ -632,10 +632,15 @@ def decoder_forward(
         x = _mlp_block(x, block)
         return (x, cache), None
 
+    # t==1 decode steps fully unroll the (shallow: 4 for turbo) layer
+    # loop: the per-iteration scan overhead is pure latency on a
+    # single-token step and unrolling lets XLA schedule across layers;
+    # prefill/teacher-forcing keeps the rolled scan (program size).
     (x, new_cache), _ = jax.lax.scan(
         body,
         (x, kv_cache),
         (dec["blocks"], cross_kv, jnp.arange(dims.n_text_layer)),
+        unroll=dims.n_text_layer if t == 1 else 1,
     )
     x = layer_norm(x, dec["ln"])
     logits = jnp.einsum(

@@ -267,8 +267,8 @@ def self_attention_int8(
     )(vl, q, kq, ks, vq, vs)
 
 
-def _self_int8_lanes_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                            lane_ref, o_ref, *, scale: float):
+def _self_int8_lanes_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                            bias_ref, o_ref, *, scale: float):
     """Beam-decode SELF-attention over an UN-reordered ("lane") KV cache
     for ONE batch element.
 
@@ -285,27 +285,21 @@ def _self_int8_lanes_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 
     Blocks: q (H, K, Dh) bf16 — beams ride the query axis; kq/vq
     (H, K·T, Dh) int8 (lane-major: lane l occupies rows [l·T, (l+1)·T));
-    ks/vs (H, K·T) scales; lane_map (K, T) int32; valid key length is
-    scalar-prefetched."""
-    valid = len_ref[0]
+    ks/vs (H, K·T) scales; bias (K, K·T) f32 additive mask encoding BOTH
+    the lane selection (lane == lane_map[k, t]) and the valid-length
+    cut, built host-of-kernel in XLA (Mosaic cannot split the
+    non-128-multiple K·T minor dim in-kernel)."""
     q = q_ref[0]                                    # (H, K, Dh)
     kq = kq_ref[0].astype(jnp.bfloat16)             # (H, K*T, Dh)
     vq = vq_ref[0].astype(jnp.bfloat16)
     ks = ks_ref[0].astype(jnp.float32)              # (H, K*T)
     vs = vs_ref[0].astype(jnp.float32)
-    lane_map = lane_ref[0]                          # (K, T)
-    k_beams, t = lane_map.shape
+    bias = bias_ref[0]                              # (K, K*T) f32
     scores = jax.lax.dot_general(
         q, kq, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                               # (H, K, K*T)
-    scores = scores * (ks[:, None, :] * scale)
-    # keep (lane == lane_map[k, t]) & (t < valid); everything else -inf
-    sel = scores.reshape(scores.shape[0], k_beams, k_beams, t)
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, (k_beams, k_beams, t), 1)
-    pos_id = jax.lax.broadcasted_iota(jnp.int32, (k_beams, k_beams, t), 2)
-    keep = (lane_id == lane_map[:, None, :]) & (pos_id < valid)
-    scores = jnp.where(keep[None], sel, NEG_INF).reshape(scores.shape)
+    scores = scores * (ks[:, None, :] * scale) + bias[None]
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp2(scores - m)
     w = p * pl.reciprocal(jnp.sum(p, -1, keepdims=True), approx=False)
@@ -335,23 +329,28 @@ def self_attention_int8_lanes(
     b, h, k, dh = q.shape
     t = kq.shape[3]
     scale = (dh**-0.5) * math.log2(math.e)
-    vl = jnp.full((1,), valid_len, jnp.int32)
     kqf = kq.reshape(b, h, k * t, dh)
     vqf = vq.reshape(b, h, k * t, dh)
     ksf = ks.reshape(b, h, k * t)
     vsf = vs.reshape(b, h, k * t)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    # additive lane-selection + valid-length mask, flat (B, K, K·T):
+    # ~0.4 MB at beam-5 batch 32 — noise next to the cache read it gates
+    lane_id = jnp.arange(k, dtype=jnp.int32)[None, None, :, None]
+    pos_id = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
+    keep = (lane_map[:, :, None, :] == lane_id) & (pos_id < valid_len)
+    bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32).reshape(
+        b, k, k * t)
+    grid_spec = pl.GridSpec(
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, k, dh), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, k * t, dh), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, k * t), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, h, k * t, dh), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, k * t), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, k, t), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, h, k, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, k * t, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, k * t), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, k * t, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, k * t), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k, k * t), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, k, dh), lambda i, *_: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, h, k, dh), lambda i: (i, 0, 0, 0)),
     )
     return pl.pallas_call(
         functools.partial(_self_int8_lanes_kernel, scale=scale),
@@ -363,7 +362,7 @@ def self_attention_int8_lanes(
             transcendentals=b * h * k * k * t,
         ),
         interpret=interpret,
-    )(vl, q, kqf, ksf, vqf, vsf, lane_map)
+    )(q, kqf, ksf, vqf, vsf, bias)
 
 
 def self_attention_int8_lanes_xla(
