@@ -118,15 +118,22 @@ def test_self_attention_lanes_matches_gathered(rng):
             w /= w.sum(-1, keepdims=True)
             ref[bi, :, ki] = np.einsum("ht,htd->hd", w, vv)
 
+    # panel layouts: K panel (B, H·Dh, K·T), V panel (B, K·T, H·Dh),
+    # scales (B, H, K·T) — column j = lane·T + t
+    kp = kq.transpose(0, 1, 4, 2, 3).reshape(b, h * dh, k * t)
+    vp = vq.transpose(0, 2, 3, 1, 4).reshape(b, k * t, h * dh)
+    kps = ks.reshape(b, h, k * t)
+    vps = vs.reshape(b, h, k * t)
+
     xla = np.asarray(att.self_attention_int8_lanes_xla(
-        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(ks),
-        jnp.asarray(vq), jnp.asarray(vs), jnp.asarray(lane_map), valid,
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(kps),
+        jnp.asarray(vp), jnp.asarray(vps), jnp.asarray(lane_map), valid,
     ))
     np.testing.assert_allclose(xla, ref, atol=2e-2, rtol=2e-2)
 
     pall = np.asarray(att.self_attention_int8_lanes(
-        jnp.asarray(q, jnp.float32), jnp.asarray(kq), jnp.asarray(ks),
-        jnp.asarray(vq), jnp.asarray(vs), jnp.asarray(lane_map), valid,
+        jnp.asarray(q, jnp.float32), jnp.asarray(kp), jnp.asarray(kps),
+        jnp.asarray(vp), jnp.asarray(vps), jnp.asarray(lane_map), valid,
         interpret=True,
     ))
     np.testing.assert_allclose(pall, ref, atol=2e-2, rtol=2e-2)

@@ -197,11 +197,11 @@ def test_decoder_lane_cache_step_interpret_matches_xla(model, monkeypatch):
 
     ref, ref_cache = run("off")
     out, out_cache = run("interpret")
-    assert ref_cache["k_q"].shape == (
-        dims.n_text_layer, b, dims.n_text_head, beam, 8,
-        dims.n_text_state // dims.n_text_head)
+    # panel layouts: k_p (L, B, H·Dh, K, T)
+    assert ref_cache["k_p"].shape == (
+        dims.n_text_layer, b, dims.n_text_state, beam, 8)
     # new rows land in each beam's own lane at pos=3
-    kq = np.asarray(ref_cache["k_q"])
-    assert np.abs(kq[:, :, :, :, 3]).sum() > 0
-    assert np.abs(kq[:, :, :, 1:, :3]).sum() == 0  # prefix only in lane 0
+    kp = np.asarray(ref_cache["k_p"])
+    assert np.abs(kp[:, :, :, :, 3]).sum() > 0
+    assert np.abs(kp[:, :, :, 1:, :3]).sum() == 0  # prefix only in lane 0
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)

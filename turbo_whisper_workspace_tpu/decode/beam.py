@@ -168,16 +168,16 @@ def beam_decode_features(
         # at a fraction of the sort cost (XLA top_k cost grows with row
         # length; the merge rows are only 2K² wide).
         #
-        # The per-beam top-2K runs on RAW masked logits (per-row rank ==
-        # logp rank: log_softmax subtracts a per-row constant), and the
-        # row logsumexp is recovered from the top-1 (the exact row max)
-        # plus one fused reduction — no (B·K, V) log_softmax
-        # materialization per step.
-        s1_raw, i1 = jax.lax.top_k(masked, 2 * k)            # (B*K, 2K)
-        row_max = s1_raw[:, 0]
-        lse = row_max + jnp.log(
-            jnp.sum(jnp.exp(masked - row_max[:, None]), axis=-1))
-        s1 = c.alive_scores.reshape(bk, 1) + (s1_raw - lse[:, None])
+        # Measured footgun (scripts/profile_beam_ops.py, v5e): running
+        # top_k on RAW logits and recovering the row logsumexp from the
+        # top-1 plus one fused exp-sum pass — "saving" the (B·K, V)
+        # log_softmax write — measured 8 ms/step SLOWER than this plain
+        # form (the log_softmax pass itself costs 0.1 ms/step; whatever
+        # that data dependency does to XLA's schedule costs 20× that).
+        # Keep the boring version.
+        logp = jax.nn.log_softmax(masked, axis=-1)           # (B*K, V)
+        cand = c.alive_scores.reshape(bk, 1) + logp
+        s1, i1 = jax.lax.top_k(cand, 2 * k)                  # (B*K, 2K)
         top_scores, m2 = jax.lax.top_k(
             s1.reshape(b, k * 2 * k), 2 * k)                 # (B, 2K)
         src_beam = m2 // (2 * k)                             # (B, 2K)

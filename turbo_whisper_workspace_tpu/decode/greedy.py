@@ -136,13 +136,12 @@ def greedy_decode_features(
         next_tok = jax.lax.cond(
             temperature > 0.0, _sample, lambda m: jnp.argmax(m, axis=-1), masked
         ).astype(jnp.int32)
-        # log p(tok) = logit(tok) - logsumexp(row), WITHOUT materializing
-        # a (B, V) log_softmax: two fused reduction passes instead of a
-        # full-vocab write + re-read every step
-        mx = jnp.max(masked, axis=-1)
-        lse = mx + jnp.log(jnp.sum(jnp.exp(masked - mx[:, None]), axis=-1))
-        chosen = jnp.take_along_axis(masked, next_tok[:, None], axis=-1)[:, 0]
-        tok_logp = chosen - lse
+        # NB: the "cheaper" max+exp-sum logsumexp recovery (avoiding the
+        # (B, V) log_softmax materialization) measured SLOWER end-to-end
+        # on v5e — same pathology as the beam-side raw-top_k variant
+        # (see decode/beam.py body comment). Keep the plain form.
+        logp = jax.nn.log_softmax(masked, axis=-1)
+        tok_logp = jnp.take_along_axis(logp, next_tok[:, None], axis=-1)[:, 0]
 
         next_tok = jnp.where(c.finished, sp.eot, next_tok)
         sum_logprobs = c.sum_logprobs + jnp.where(c.finished, 0.0, tok_logp)

@@ -388,17 +388,33 @@ def init_kv_cache(
 
 
 def beam_lane_cache(cache_b: Params, beam: int) -> Params:
-    """Quantized (L, B, H, T, …) prefill cache → beam "lane" layout
-    (L, B, H, K, T, …) with the shared prompt prefix living in lane 0
-    ONLY (lane_map starts all-zero, so every beam reads it from there —
-    no K× prefix duplication). Lanes 1..K-1 start zeroed and are filled
-    as beams write their own rows (decoder_forward lane_map path)."""
-    def expand(x):
-        z = jnp.zeros(x.shape[:3] + (beam,) + x.shape[3:], x.dtype)
-        return jax.lax.dynamic_update_slice(
-            z, x[:, :, :, None], (0,) * z.ndim)
+    """Quantized (L, B, H, T, Dh) prefill cache → beam "lane" PANEL
+    layout for the block-diagonal lane kernel
+    (ops/attention.self_attention_int8_lanes):
 
-    return jax.tree.map(expand, cache_b)
+      k_p  (L, B, H·Dh, K, T) int8 — per-(b) K-score panel, flattens
+                                      free to (H·Dh, K·T)
+      v_p  (L, B, K, T, H·Dh) int8 — V output panel, flattens to
+                                      (K·T, H·Dh)
+      k_ps / v_ps (L, B, H, K, T)  — per-(head, position) scales
+
+    The shared prompt prefix lives in lane 0 ONLY (lane_map starts
+    all-zero, so every beam reads it from there — no K× duplication).
+    Lanes 1..K-1 start zeroed and fill as beams write their own rows."""
+    l, b, h, t, dh = cache_b["k_q"].shape
+    kq0 = cache_b["k_q"].transpose(0, 1, 2, 4, 3).reshape(l, b, h * dh, t)
+    vq0 = cache_b["v_q"].transpose(0, 1, 3, 2, 4).reshape(l, b, t, h * dh)
+
+    k_p = jnp.zeros((l, b, h * dh, beam, t), jnp.int8)
+    k_p = k_p.at[:, :, :, 0].set(kq0)
+    v_p = jnp.zeros((l, b, beam, t, h * dh), jnp.int8)
+    v_p = v_p.at[:, :, 0].set(vq0)
+    sdtype = cache_b["k_s"].dtype
+    k_ps = jnp.zeros((l, b, h, beam, t), sdtype)
+    k_ps = k_ps.at[:, :, :, 0].set(cache_b["k_s"])
+    v_ps = jnp.zeros((l, b, h, beam, t), sdtype)
+    v_ps = v_ps.at[:, :, :, 0].set(cache_b["v_s"])
+    return {"k_p": k_p, "v_p": v_p, "k_ps": k_ps, "v_ps": v_ps}
 
 
 def _quantize_kv_rows(x: jax.Array, n_head: int):
@@ -454,17 +470,18 @@ def decoder_forward(
     if not use_cache:
         kv_cache = init_kv_cache(dims, b, max_len=t, dtype=dtype)
         pos = 0
-    quant_cache = "k_q" in kv_cache
-    lane_cache = quant_cache and kv_cache["k_q"].ndim == 6
+    lane_cache = "k_p" in kv_cache
+    quant_cache = lane_cache or "k_q" in kv_cache
     if lane_cache:
-        assert lane_map is not None and beam == kv_cache["k_q"].shape[3]
+        assert lane_map is not None and beam == kv_cache["k_p"].shape[3]
         assert t == 1, "lane cache is single-step decode only"
 
     # Cache length = position axis: quant layout is (L, B, H, T, Dh)
-    # (lane layout (L, B, H, K, T, Dh)), bf16 layout is (L, B, T, D) —
-    # indexing a fixed leaf axis 2 would read the head axis of the quant
-    # cache (the round-3 prefill crash).
-    cache_len = (kv_cache["k_q"].shape[-2] if "k_q" in kv_cache
+    # (lane panels put T last), bf16 layout is (L, B, T, D) — indexing
+    # a fixed leaf axis 2 would read the head axis of the quant cache
+    # (the round-3 prefill crash).
+    cache_len = (kv_cache["k_p"].shape[-1] if lane_cache
+                 else kv_cache["k_q"].shape[-2] if "k_q" in kv_cache
                  else kv_cache["k"].shape[2])
     # positions < pos + t are valid keys
     key_pos = jnp.arange(cache_len)
@@ -495,45 +512,55 @@ def decoder_forward(
         if lane_cache:
             br = b // beam
             dh = dims.n_text_state // n_head
+            d_full = dims.n_text_state
+            kt = beam * cache_len
             kq_new, ks_new = _quantize_kv_rows(k, n_head)   # (BK,H,1,Dh)
             vq_new, vs_new = _quantize_kv_rows(v, n_head)
-
-            def _lane_rows(x):      # (BK,H,1,Dh) → (1,br,H,K,1,Dh)
-                return jnp.moveaxis(
-                    x.reshape((br, beam) + x.shape[1:]), 1, 2)[None]
-
+            # beam row b·K+k writes lane k of batch b, at position pos:
+            # one dynamic_update_slice per panel (T is the minor axis of
+            # the k/scale panels, so a single traced `pos` indexes it)
+            knew = kq_new[:, :, 0].reshape(br, beam, d_full)  # (B,K,H·Dh)
+            vnew = vq_new[:, :, 0].reshape(br, beam, d_full)
+            ksnew = ks_new[:, :, 0].reshape(br, beam, n_head)
+            vsnew = vs_new[:, :, 0].reshape(br, beam, n_head)
             cache = {
-                "k_q": jax.lax.dynamic_update_slice(
-                    cache["k_q"], _lane_rows(kq_new).astype(jnp.int8),
-                    (li, 0, 0, 0, pos, 0)),
-                "k_s": jax.lax.dynamic_update_slice(
-                    cache["k_s"], _lane_rows(ks_new).astype(cache["k_s"].dtype),
+                "k_p": jax.lax.dynamic_update_slice(
+                    cache["k_p"],
+                    knew.transpose(0, 2, 1)[None, :, :, :, None],
                     (li, 0, 0, 0, pos)),
-                "v_q": jax.lax.dynamic_update_slice(
-                    cache["v_q"], _lane_rows(vq_new).astype(jnp.int8),
-                    (li, 0, 0, 0, pos, 0)),
-                "v_s": jax.lax.dynamic_update_slice(
-                    cache["v_s"], _lane_rows(vs_new).astype(cache["v_s"].dtype),
+                "v_p": jax.lax.dynamic_update_slice(
+                    cache["v_p"], vnew[None, :, :, None, :],
+                    (li, 0, 0, pos, 0)),
+                "k_ps": jax.lax.dynamic_update_slice(
+                    cache["k_ps"],
+                    ksnew.transpose(0, 2, 1)[None, :, :, :, None].astype(
+                        cache["k_ps"].dtype),
+                    (li, 0, 0, 0, pos)),
+                "v_ps": jax.lax.dynamic_update_slice(
+                    cache["v_ps"],
+                    vsnew.transpose(0, 2, 1)[None, :, :, :, None].astype(
+                        cache["v_ps"].dtype),
                     (li, 0, 0, 0, pos)),
             }
             qh_self = q[:, 0].reshape(br, beam, n_head, dh).transpose(
                 0, 2, 1, 3)                                 # (br,H,K,Dh)
+            kp = _ds(cache["k_p"], li).reshape(br, d_full, kt)
+            vp = _ds(cache["v_p"], li).reshape(br, kt, d_full)
+            kps = _ds(cache["k_ps"], li).reshape(br, n_head, kt)
+            vps = _ds(cache["v_ps"], li).reshape(br, n_head, kt)
             mode = _pallas_mode()
             if mode == "off":
                 from ..ops.attention import self_attention_int8_lanes_xla
 
                 attn_h = self_attention_int8_lanes_xla(
-                    qh_self, _ds(cache["k_q"], li), _ds(cache["k_s"], li),
-                    _ds(cache["v_q"], li), _ds(cache["v_s"], li),
-                    lane_map, pos + 1,
+                    qh_self, kp, kps, vp, vps, lane_map, pos + 1,
                 )
             else:
                 from ..ops.attention import self_attention_int8_lanes
 
                 attn_h = self_attention_int8_lanes(
-                    qh_self, _ds(cache["k_q"], li), _ds(cache["k_s"], li),
-                    _ds(cache["v_q"], li), _ds(cache["v_s"], li),
-                    lane_map, pos + 1, interpret=(mode == "interpret"),
+                    qh_self, kp, kps, vp, vps, lane_map, pos + 1,
+                    interpret=(mode == "interpret"),
                 )
             attn = attn_h.transpose(0, 2, 1, 3).reshape(
                 b, t, dims.n_text_state)

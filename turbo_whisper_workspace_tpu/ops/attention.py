@@ -105,87 +105,149 @@ def flash_attention(
     return out[:, :, :t] if tpad != t else out
 
 
-def _cross_int8_kernel(q_ref, kq_ref, vq_ref, ks_ref, vs_ref, o_ref,
-                       *, seq_len: int, scale: float):
-    """Decode-time cross-attention over int8 K/V for ONE batch element.
+def _bd_expand(q, n_head: int, d_full: int):
+    """(M, Dh) compact queries → (M, D=H·Dh) block-diagonal, in VMEM.
 
-    Blocks: q (H, Tq, Dh) bf16 — Tq is 1 for greedy decode and the beam
-    width for beam search (all K beams of a batch row share ONE KV read);
-    kq/vq (H, Dh, Tpad) int8 (transposed so the int8 lane dim is T, a
-    128-multiple); ks/vs (H, 1) f32 per-head scales. Scales are scalars
-    per head, so they commute out of the matmuls: K's into q, V's onto
-    the output — the int8 payload is only ever cast, never multiplied
-    elementwise.
-    """
-    q = q_ref[0].astype(jnp.float32)               # (H, Tq, Dh)
-    kq = kq_ref[0].astype(jnp.bfloat16)            # (H, Dh, Tpad)
-    vq = vq_ref[0].astype(jnp.bfloat16)
-    ks = ks_ref[0]                                 # (H, 1)
-    vs = vs_ref[0]
-    qs = (q * (ks[:, :, None] * scale)).astype(jnp.bfloat16)
-    scores = jax.lax.dot_general(
-        qs, kq, (((2,), (1,)), ((0,), (0,))),
+    Row m belongs to head m // (M/H); its Dh values land in that head's
+    column block, zeros elsewhere. Built as one tiny matmul with the
+    static tile matrix T[d, c] = (c mod Dh == d) followed by the static
+    block mask — no HBM traffic (the naive XLA-side eye-einsum build
+    materialized 16 MB per call and dominated the kernel's runtime)."""
+    m_rows, dh = q.shape
+    per_head = m_rows // n_head
+    di = jax.lax.broadcasted_iota(jnp.int32, (dh, d_full), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (dh, d_full), 1)
+    tile = (ci % dh == di).astype(q.dtype)            # (Dh, D)
+    q_exp = jax.lax.dot_general(
+        q, tile, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                              # (H, Tq, Tpad)
+    ).astype(q.dtype)                                 # (M, D)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (m_rows, d_full), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (m_rows, d_full), 1)
+    blk = (ri // per_head == cj // dh)
+    return jnp.where(blk, q_exp, jnp.zeros_like(q_exp))
+
+
+def _bd_extract(full, n_head: int, dh: int):
+    """(M, D) block-diag output → (M, Dh) compact: keep each row's own
+    head block and fold it back to Dh columns with the tile matmul."""
+    m_rows, d_full = full.shape
+    per_head = m_rows // n_head
+    ri = jax.lax.broadcasted_iota(jnp.int32, (m_rows, d_full), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (m_rows, d_full), 1)
+    blk = ri // per_head == cj // dh
+    masked = jnp.where(blk, full, jnp.zeros_like(full))
+    di = jax.lax.broadcasted_iota(jnp.int32, (dh, d_full), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (dh, d_full), 1)
+    tile = (ci % dh == di).astype(masked.dtype)       # (Dh, D)
+    return jax.lax.dot_general(
+        masked, tile, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (M, Dh)
+
+
+def _bd_attn_int8_kernel(q_ref, kq_ref, vq_ref, o_ref, *, seq_len: int,
+                         n_head: int):
+    """Block-diagonal decode attention over int8 K/V for ONE batch
+    element — the tiny-M problem solved the MXU way.
+
+    Decode-step attention is per-(batch, head) with M = beam-width(≤5)
+    query rows: issuing B·H separate (5×64)·(64×1536) matmuls leaves the
+    MXU >95% idle and measured ~2.2 ms/step (scripts/
+    profile_decoder_step.py). Instead the caller packs all H heads'
+    queries into ONE block-diagonal (H·Tq, H·Dh) matrix (row h·Tq+t is
+    zero outside head h's Dh-column block), so the whole step is two
+    DENSE matmuls against the flattened panels:
+
+        scores = Qblk (M, D) · K (D, Tpad)      M = H·Tq, D = H·Dh
+        out    = softmax(scores) · V (Tpad, D)
+
+    Cross-head score terms are killed by the zero blocks in Qblk; the
+    (M, D) output contains cross-head garbage OUTSIDE each row's own
+    head block, and the caller selects the diagonal blocks (cheap XLA
+    gather on a tiny array). ~20× more MXU flops — which converts a
+    latency-bound op into a bandwidth-bound one and measures ~3× faster.
+
+    K/V scale handling is the caller's: fold per-head k-scales into
+    the compact q rows, apply v-scales to the compact output (cross),
+    or pre/post-multiply score columns (self — per-position scales).
+
+    The block-diagonal expansion of q and the diagonal extraction of
+    the output happen IN VMEM (_bd_expand/_bd_extract): HBM sees only
+    the compact (M, Dh) query/output and the int8 panels.
+    """
+    qc = q_ref[0]                                  # (M, Dh) bf16 compact
+    kq = kq_ref[0].astype(jnp.bfloat16)            # (D, Tpad)
+    vq = vq_ref[0].astype(jnp.bfloat16)            # (Tpad, D)
+    qb = _bd_expand(qc, n_head, kq.shape[0])       # (M, D)
+    scores = jax.lax.dot_general(
+        qb, kq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (M, Tpad)
     if seq_len < kq.shape[-1]:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col < seq_len, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp2(scores - m)
     w = (p * pl.reciprocal(jnp.sum(p, -1, keepdims=True), approx=False))
-    out = jax.lax.dot_general(
-        w.astype(jnp.bfloat16), vq, (((2,), (2,)), ((0,), (0,))),
+    full = jax.lax.dot_general(
+        w.astype(jnp.bfloat16), vq, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                              # (H, Tq, Dh)
-    o_ref[0] = (out * vs[:, :, None]).astype(o_ref.dtype)
+    )                                              # (M, D)
+    o_ref[0] = _bd_extract(full, n_head,
+                           qc.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("seq_len", "interpret"))
 def cross_attention_int8(
     q: jax.Array,        # (B, H, Tq, Dh) activation dtype (Tq = 1 or beam K)
-    kq: jax.Array,       # (B, H, Dh, Tpad) int8
-    vq: jax.Array,       # (B, H, Dh, Tpad) int8
+    kq: jax.Array,       # (B, H, Dh, Tpad) int8  (viewed flat (B, H·Dh, Tpad))
+    vq: jax.Array,       # (B, Tpad, H·Dh) int8
     k_scale: jax.Array,  # (B, H) f32
     v_scale: jax.Array,  # (B, H) f32
     seq_len: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode-step cross-attention reading quantized K/V (half the HBM
-    traffic of bf16 — the dominant decode-step cost). Returns (B, H, Tq, Dh)."""
+    traffic of bf16) through the block-diagonal kernel.
+    Returns (B, H, Tq, Dh)."""
     import math
 
-    b, h, one, dh = q.shape
+    b, h, tq, dh = q.shape
     tpad = kq.shape[-1]
     seq_len = seq_len if seq_len is not None else tpad
     scale = (dh**-0.5) * math.log2(math.e)
+    # per-head k-scales are scalars: fold into the (compact) query rows
+    qs = (q.astype(jnp.float32)
+          * (k_scale[:, :, None, None] * scale)).astype(jnp.bfloat16)
+    qc = qs.reshape(b, h * tq, dh)                 # compact (B, M, Dh)
+    kqf = kq.reshape(b, h * dh, tpad)
+    m, d = h * tq, h * dh
     out = pl.pallas_call(
-        functools.partial(_cross_int8_kernel, seq_len=seq_len, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, h, one, dh), q.dtype),
+        functools.partial(_bd_attn_int8_kernel, seq_len=seq_len, n_head=h),
+        out_shape=jax.ShapeDtypeStruct((b, m, dh), q.dtype),
         grid_spec=pl.GridSpec(
             grid=(b,),
             in_specs=[
-                pl.BlockSpec((1, h, one, dh), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, m, dh), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, dh, tpad), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, d, tpad), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, dh, tpad), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, tpad, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, h, one, dh), lambda i: (i, 0, 0, 0),
+            out_specs=pl.BlockSpec((1, m, dh), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * one * tpad * dh,
-            bytes_accessed=2 * b * h * dh * tpad + 2 * b * h * one * dh * 2,
-            transcendentals=b * h * one * tpad,
+            flops=4 * b * m * tpad * d,
+            bytes_accessed=2 * b * d * tpad + 2 * b * m * dh * 2,
+            transcendentals=b * m * tpad,
         ),
         interpret=interpret,
-    )(q, kq, vq, k_scale[..., None], v_scale[..., None])
-    return out
+    )(qc, kqf, vq)
+    out = out.astype(jnp.float32).reshape(b, h, tq, dh)
+    return (out * v_scale[:, :, None, None]).astype(q.dtype)
 
 
 def _self_int8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
@@ -267,57 +329,83 @@ def self_attention_int8(
     )(vl, q, kq, ks, vq, vs)
 
 
-def _self_int8_lanes_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                            bias_ref, o_ref, *, scale: float):
+def _bd_self_int8_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                         bias_ref, o_ref, *, scale: float, n_head: int):
     """Beam-decode SELF-attention over an UN-reordered ("lane") KV cache
-    for ONE batch element.
+    for ONE batch element, as ONE block-diagonal matmul pair.
 
     Beam search classically reorders the whole self-KV cache every step
     to match the surviving hypotheses — at beam 5 / batch 32 that
-    read+write was the single largest decode-step cost (~430 MB/step,
-    scripts/profile_beam_ops.py). Here the cache is never moved: lane l
-    permanently holds whatever hypothesis occupied beam slot l when each
-    position was written, and a tiny (K, T) int32 `lane_map` records, for
-    the CURRENT beam k, which lane owns position t. The kernel computes
-    scores against ALL K lanes (K× more MXU flops — nanoseconds at these
-    shapes) and keeps exactly the (lane == lane_map[k, t]) entries, so
-    HBM sees one contiguous read of the cache and zero reorder traffic.
+    read+write was the single largest beam-only cost (~430 MB/step).
+    Here the cache is never moved: lane l permanently holds whatever
+    hypothesis occupied beam slot l when each position was written, and
+    a (K, T) int32 lane_map (encoded into `bias` by the caller) records
+    which lane owns each position for the current beams. Scores are
+    computed against ALL K lanes and non-owned entries are -inf'd.
 
-    Blocks: q (H, K, Dh) bf16 — beams ride the query axis; kq/vq
-    (H, K·T, Dh) int8 (lane-major: lane l occupies rows [l·T, (l+1)·T));
-    ks/vs (H, K·T) scales; bias (K, K·T) f32 additive mask encoding BOTH
-    the lane selection (lane == lane_map[k, t]) and the valid-length
-    cut, built host-of-kernel in XLA (Mosaic cannot split the
-    non-128-multiple K·T minor dim in-kernel)."""
-    q = q_ref[0]                                    # (H, K, Dh)
-    kq = kq_ref[0].astype(jnp.bfloat16)             # (H, K*T, Dh)
-    vq = vq_ref[0].astype(jnp.bfloat16)
-    ks = ks_ref[0].astype(jnp.float32)              # (H, K*T)
+    Like the cross kernel, the tiny per-(head) matmuls are packed into
+    one dense pair via a block-diagonal query (see _bd_attn_int8_kernel):
+
+        scores = Qblk (H·K, H·Dh) · Kpanel (H·Dh, K·T)
+        out    = softmax(scores·ks + bias)·vs · Vpanel (K·T, H·Dh)
+
+    ks/vs are per-(head, position) so they multiply score columns,
+    broadcast over each head's K query rows; bias carries lane-selection
+    + valid-length masking, broadcast over heads.
+    """
+    qc = q_ref[0]                                   # (H·K, Dh) bf16 compact
+    kq = kq_ref[0].astype(jnp.bfloat16)             # (H·Dh, K·T)
+    vq = vq_ref[0].astype(jnp.bfloat16)             # (K·T, H·Dh)
+    ks = ks_ref[0].astype(jnp.float32)              # (H, K·T)
     vs = vs_ref[0].astype(jnp.float32)
-    bias = bias_ref[0]                              # (K, K*T) f32
+    bias = bias_ref[0]                              # (K, K·T) f32
+    mkt = kq.shape[-1]
+    m_rows = qc.shape[0]
+    k_beams = m_rows // n_head
+    qb = _bd_expand(qc, n_head, kq.shape[0])        # (M, D) in VMEM
     scores = jax.lax.dot_general(
-        q, kq, (((2,), (2,)), ((0,), (0,))),
+        qb, kq, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                               # (H, K, K*T)
-    scores = scores * (ks[:, None, :] * scale) + bias[None]
+    )                                               # (H·K, K·T)
+    # Per-(head, position) scales and per-(beam) bias must reach row
+    # (h·K + k): Mosaic can't reshape (M, K·T)↔(H, K, K·T), so expand
+    # them to (M, K·T) with static 0/1 row-map MATMULS (row→head is
+    # iota//K, row→beam is iota%K) — three ~3 MFLOP dots in VMEM.
+    row = jax.lax.broadcasted_iota(jnp.int32, (m_rows, n_head), 0)
+    hid = jax.lax.broadcasted_iota(jnp.int32, (m_rows, n_head), 1)
+    r_head = (row // k_beams == hid).astype(jnp.float32)     # (M, H)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (m_rows, k_beams), 0)
+    kid = jax.lax.broadcasted_iota(jnp.int32, (m_rows, k_beams), 1)
+    r_beam = (rowb % k_beams == kid).astype(jnp.float32)     # (M, K)
+    ks_exp = jax.lax.dot_general(
+        r_head, ks, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (M, K·T)
+    vs_exp = jax.lax.dot_general(
+        r_head, vs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    bias_exp = jax.lax.dot_general(
+        r_beam, bias, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    scores = scores * (ks_exp * scale) + bias_exp
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp2(scores - m)
     w = p * pl.reciprocal(jnp.sum(p, -1, keepdims=True), approx=False)
-    w = (w * vs[:, None, :]).astype(jnp.bfloat16)
-    out = jax.lax.dot_general(
-        w, vq, (((2,), (1,)), ((0,), (0,))),
+    w = (w * vs_exp).astype(jnp.bfloat16)
+    full = jax.lax.dot_general(
+        w, vq, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                               # (H, K, Dh)
-    o_ref[0] = out.astype(o_ref.dtype)
+    )                                               # (H·K, H·Dh)
+    o_ref[0] = _bd_extract(full, n_head,
+                           qc.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def self_attention_int8_lanes(
     q: jax.Array,         # (B, H, K, Dh) bf16 — beam queries
-    kq: jax.Array,        # (B, H, K, T, Dh) int8 lane cache
-    ks: jax.Array,        # (B, H, K, T) scales
-    vq: jax.Array,        # (B, H, K, T, Dh) int8
-    vs: jax.Array,        # (B, H, K, T)
+    kq: jax.Array,        # (B, H·Dh, K·T) int8 lane cache (K panel)
+    ks: jax.Array,        # (B, H, K·T) scales
+    vq: jax.Array,        # (B, K·T, H·Dh) int8 (V panel)
+    vs: jax.Array,        # (B, H, K·T)
     lane_map: jax.Array,  # (B, K, T) int32
     valid_len,            # scalar int32
     interpret: bool = False,
@@ -327,69 +415,71 @@ def self_attention_int8_lanes(
     import math
 
     b, h, k, dh = q.shape
-    t = kq.shape[3]
+    kt = kq.shape[-1]
+    t = kt // k
     scale = (dh**-0.5) * math.log2(math.e)
-    kqf = kq.reshape(b, h, k * t, dh)
-    vqf = vq.reshape(b, h, k * t, dh)
-    ksf = ks.reshape(b, h, k * t)
-    vsf = vs.reshape(b, h, k * t)
+    qc = q.astype(jnp.bfloat16).reshape(b, h * k, dh)  # compact (B, M, Dh)
     # additive lane-selection + valid-length mask, flat (B, K, K·T):
     # ~0.4 MB at beam-5 batch 32 — noise next to the cache read it gates
     lane_id = jnp.arange(k, dtype=jnp.int32)[None, None, :, None]
     pos_id = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
     keep = (lane_map[:, :, None, :] == lane_id) & (pos_id < valid_len)
     bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32).reshape(
-        b, k, k * t)
-    grid_spec = pl.GridSpec(
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, k, dh), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, k * t, dh), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, k * t), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, h, k * t, dh), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, k * t), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k, k * t), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, h, k, dh), lambda i: (i, 0, 0, 0)),
-    )
-    return pl.pallas_call(
-        functools.partial(_self_int8_lanes_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, h, k, dh), q.dtype),
-        grid_spec=grid_spec,
+        b, k, kt)
+    m, d = h * k, h * dh
+    out = pl.pallas_call(
+        functools.partial(_bd_self_int8_kernel, scale=scale, n_head=h),
+        out_shape=jax.ShapeDtypeStruct((b, m, dh), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, m, dh), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, d, kt), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h, kt), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, kt, d), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h, kt), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, k, kt), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, m, dh), lambda i: (i, 0, 0)),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * k * k * t * dh,
-            bytes_accessed=2 * b * h * k * t * dh + 4 * b * h * k * dh,
-            transcendentals=b * h * k * k * t,
+            flops=4 * b * m * kt * d,
+            bytes_accessed=2 * b * d * kt + 2 * b * m * dh * 2,
+            transcendentals=b * m * kt,
         ),
         interpret=interpret,
-    )(q, kqf, ksf, vqf, vsf, bias)
+    )(qc, kq, ks, vq, vs, bias)
+    return out.astype(q.dtype).reshape(b, h, k, dh)
 
 
 def self_attention_int8_lanes_xla(
     q: jax.Array,         # (B, H, K, Dh)
-    kq: jax.Array,        # (B, H, K, T, Dh) int8 lane cache
-    ks: jax.Array,        # (B, H, K, T)
-    vq: jax.Array,        # (B, H, K, T, Dh) int8
-    vs: jax.Array,        # (B, H, K, T)
+    kq: jax.Array,        # (B, H·Dh, K·T) int8 lane cache
+    ks: jax.Array,        # (B, H, K·T)
+    vq: jax.Array,        # (B, K·T, H·Dh) int8
+    vs: jax.Array,        # (B, H, K·T)
     lane_map: jax.Array,  # (B, K, T) int32
     valid_len,            # scalar int32
 ) -> jax.Array:
     """Plain-XLA twin of the lane kernel (CPU fallback / test oracle)."""
     b, h, k, dh = q.shape
-    t = kq.shape[3]
+    kt = kq.shape[-1]
+    t = kt // k
     scale = dh**-0.5
+    kh = kq.reshape(b, h, dh, kt).astype(q.dtype)
     scores = jnp.einsum(
-        "bhkd,bhltd->bhklt", q, kq.astype(q.dtype),
+        "bhkd,bhdj->bhkj", q, kh,
         preferred_element_type=jnp.float32,
     ) * (ks.astype(jnp.float32)[:, :, None] * scale)
     lane_id = jnp.arange(k)[None, :, None]
     pos_id = jnp.arange(t)[None, None, :]
-    keep = (lane_id == lane_map[..., None, :]) & (pos_id < valid_len)
+    keep = ((lane_id == lane_map[..., None, :]) & (pos_id < valid_len)
+            ).reshape(b, k, kt)
     scores = jnp.where(keep[:, None], scores, NEG_INF)
-    flat = scores.reshape(b, h, k, k * t)
-    w = jax.nn.softmax(flat, axis=-1).reshape(b, h, k, k, t)
+    w = jax.nn.softmax(scores, axis=-1)
     w = (w * vs.astype(jnp.float32)[:, :, None]).astype(q.dtype)
-    return jnp.einsum("bhklt,bhltd->bhkd", w, vq.astype(q.dtype))
+    vh = vq.reshape(b, kt, h, dh).astype(q.dtype)
+    return jnp.einsum("bhkj,bjhd->bhkd", w, vh)
 
 
 def self_attention_int8_xla(
@@ -414,24 +504,32 @@ def self_attention_int8_xla(
 
 
 def quantize_cross_kv_int8(k: jax.Array, v: jax.Array):
-    """(L, B, H, T, Dh) bf16 K/V → transposed int8 + per-(L,B,H) scales,
-    T padded to a 128 multiple for int8 lane tiling."""
+    """(L, B, H, T, Dh) bf16 K/V → int8 + per-(L,B,H) scales, T padded
+    to a 128 multiple for int8 lane tiling. Layouts feed the
+    block-diagonal kernel with zero transposes: K is (L,B,H,Dh,Tpad)
+    (flattens to the (H·Dh, Tpad) score panel), V is (L,B,Tpad,H·Dh)
+    (the (Tpad, H·Dh) output panel)."""
     l, b, h, t, dh = k.shape
     tpad = -(-t // 128) * 128
 
-    def quant(x):
+    def quant(x, to_v_layout):
         s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(-2, -1)) / 127.0
         s = jnp.maximum(s, 1e-12)
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) / s[..., None, None]), -127, 127
         ).astype(jnp.int8)
-        xq = xq.transpose(0, 1, 2, 4, 3)           # (L,B,H,Dh,T)
-        if tpad != t:
-            xq = jnp.pad(xq, ((0, 0),) * 4 + ((0, tpad - t),))
+        if to_v_layout:                            # (L,B,T,H·Dh)
+            xq = xq.transpose(0, 1, 3, 2, 4).reshape(l, b, t, h * dh)
+            if tpad != t:
+                xq = jnp.pad(xq, ((0, 0),) * 2 + ((0, tpad - t), (0, 0)))
+        else:                                      # (L,B,H,Dh,Tpad)
+            xq = xq.transpose(0, 1, 2, 4, 3)
+            if tpad != t:
+                xq = jnp.pad(xq, ((0, 0),) * 4 + ((0, tpad - t),))
         return xq, s.astype(jnp.float32)
 
-    kq, ks = quant(k)
-    vq, vs = quant(v)
+    kq, ks = quant(k, False)
+    vq, vs = quant(v, True)
     # seq_len is NOT stored: it equals dims.n_audio_ctx (static) at every
     # call site, and pytree leaves must all be arrays (beam tiling maps
     # jnp.repeat over them)
@@ -440,9 +538,9 @@ def quantize_cross_kv_int8(k: jax.Array, v: jax.Array):
 
 @functools.partial(jax.jit, static_argnames=("seq_len",))
 def cross_attention_int8_xla(
-    q: jax.Array,        # (B, H, 1, Dh)
+    q: jax.Array,        # (B, H, Tq, Dh)
     kq: jax.Array,       # (B, H, Dh, Tpad) int8
-    vq: jax.Array,       # (B, H, Dh, Tpad) int8
+    vq: jax.Array,       # (B, Tpad, H·Dh) int8
     k_scale: jax.Array,  # (B, H) f32
     v_scale: jax.Array,  # (B, H) f32
     seq_len: int | None = None,
@@ -451,9 +549,7 @@ def cross_attention_int8_xla(
 
     Used off-TPU (interpret-mode Pallas at every decode step is
     pathologically slow on CPU) and as the oracle in kernel tests."""
-    import math
-
-    b, h, one, dh = q.shape
+    b, h, tq, dh = q.shape
     tpad = kq.shape[-1]
     seq_len = seq_len if seq_len is not None else tpad
     scale = dh**-0.5
@@ -468,8 +564,9 @@ def cross_attention_int8_xla(
         col = jnp.arange(tpad)
         scores = jnp.where(col[None, None, None] < seq_len, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+    vh = vq.reshape(b, tpad, h, dh).astype(jnp.bfloat16)
     out = jnp.einsum(
-        "bhqt,bhdt->bhqd", w, vq.astype(jnp.bfloat16),
+        "bhqt,bthd->bhqd", w, vh,
         preferred_element_type=jnp.float32,
     )
     return (out * v_scale[:, :, None, None]).astype(q.dtype)

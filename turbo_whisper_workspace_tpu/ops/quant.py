@@ -50,7 +50,14 @@ def int8_matmul(
     _, n = w_q.shape
     bn = min(block_n, n)
     if n % bn:
-        bn = n
+        # pad N to the block multiple — falling back to bn = n would
+        # stage the whole weight in VMEM (a 128k-vocab lm_head is
+        # ~394 MB int8: 25x the VMEM)
+        npad = -(-n // bn) * bn
+        w_q = jnp.pad(w_q, ((0, 0), (0, npad - n)))
+        scale = jnp.pad(scale, (0, npad - n))
+        out = int8_matmul(x, w_q, scale, block_n=bn, interpret=interpret)
+        return out[:, :n]
     grid = (n // bn,)
     out = pl.pallas_call(
         _q_matmul_kernel,
@@ -153,7 +160,13 @@ def int4_matmul(
     n = w_q4.shape[-1]
     bn = min(block_n, n)
     if n % bn:
-        bn = n
+        # pad N to the block multiple (see int8_matmul — bn = n would
+        # stage the whole weight in VMEM for non-multiple vocab sizes)
+        npad = -(-n // bn) * bn
+        w_q4 = jnp.pad(w_q4, ((0, 0), (0, npad - n)))
+        scale = jnp.pad(scale, ((0, 0), (0, npad - n)))
+        out = int4_matmul(x, w_q4, scale, block_n=bn, interpret=interpret)
+        return out[:, :n]
     grid = (n // bn,)
     n_groups = scale.shape[0]
     out = pl.pallas_call(
