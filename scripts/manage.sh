@@ -58,6 +58,7 @@ case "${1:-help}" in
   check)       # mechanical pre-commit gate for perf changes (VERDICT r3
                # #9): full suite + a CPU smoke of every bench path, so a
                # broken decode program can never ship unnoticed again.
+               (cd "$REPO_ROOT" && "$PYTHON" scripts/check_status_claims.py) || exit 1
                (cd "$REPO_ROOT" && "$PYTHON" -m pytest tests/ -q) || exit 1
                (cd "$REPO_ROOT" && BENCH_MODEL=tiny BENCH_BATCH=2 \
                   BENCH_DECODE_LEN=8 BENCH_ITERS=1 \

@@ -58,8 +58,11 @@ def main():
         (BATCH, 1),
     )
     rng = np.random.default_rng(0)
-    audio_np = (rng.standard_normal((BATCH, mel_ops.N_SAMPLES))
-                .astype(np.float32) * 0.1)
+    audio_f32 = (rng.standard_normal((BATCH, mel_ops.N_SAMPLES))
+                 .astype(np.float32) * 0.1)
+    # production wire format: decoders emit int16 PCM; the f32 convert
+    # happens ON DEVICE inside log_mel_spectrogram — half the H2D bytes
+    audio_np = (audio_f32 * 32768.0).clip(-32768, 32767).astype(np.int16)
 
     @jax.jit
     def step(params, audio, prompt):
@@ -71,13 +74,21 @@ def main():
         return res.tokens
 
     # warm up / compile
-    audio = jax.device_put(jnp.asarray(audio_np))
+    audio = jax.device_put(audio_np)
     float(np.asarray(jnp.sum(step(params, audio, prompt))))
+
+    def time_feed(arr, n=REPEATS):
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            jax.block_until_ready(jax.device_put(arr))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
 
     feed_s, disp_s, total_s = [], [], []
     for _ in range(REPEATS):
         t0 = time.time()
-        audio = jax.device_put(jnp.asarray(audio_np))  # input feed (H2D)
+        audio = jax.device_put(audio_np)               # input feed (H2D)
         jax.block_until_ready(audio)
         t1 = time.time()
         out = step(params, audio, prompt)              # async dispatch
@@ -93,10 +104,13 @@ def main():
     t_dev = float(np.median(total_s))
     t_host = t_feed + t_disp
     eff = t_dev / max(t_dev, t_host)
+    t_feed_f32 = time_feed(audio_f32)
     report = {
         "model": MODEL, "batch": BATCH, "decode_len": DECODE_LEN,
         "device": str(jax.devices()[0]),
+        "input_dtype": "int16 (decoder-native PCM, f32 convert on device)",
         "t_host_feed_s": round(t_feed, 5),
+        "t_host_feed_f32_s": round(t_feed_f32, 5),
         "t_host_dispatch_s": round(t_disp, 5),
         "t_device_batch_s": round(t_dev, 4),
         "host_fraction": round(t_host / t_dev, 5),

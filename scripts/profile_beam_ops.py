@@ -81,8 +81,9 @@ def main():
 
     @jax.jit
     def topk_raw_lse(logits0):
-        # shipping scheme: per-beam top-2K on RAW logits + lse from the
-        # top-1, then the beam merge — no (B*K, V) log_softmax pass
+        # raw+lse (REJECTED variant): per-beam top-2K on RAW logits +
+        # lse from the top-1 — measured 8 ms/step slower than the plain
+        # log_softmax form decode/beam.py actually ships
         def body(i, lg):
             s1, i1 = jax.lax.top_k(lg, 2 * K)
             mx = s1[:, 0]

@@ -58,6 +58,17 @@ def test_filterbank_matches_transformers():
         np.testing.assert_allclose(ours, ref, atol=1e-7)
 
 
+def test_int16_input_matches_f32(rng):
+    # decoders emit int16 PCM; the frontend converts on device so the
+    # H2D feed ships half the bytes (docs/SCALING.json host-feed gate)
+    pcm = (rng.standard_normal(16000 * 2) * 3000).astype(np.int16)
+    padded = mel.pad_or_trim(pcm)
+    ours_i = np.asarray(mel.log_mel_spectrogram(padded))
+    ours_f = np.asarray(
+        mel.log_mel_spectrogram(padded.astype(np.float32) / 32768.0))
+    np.testing.assert_allclose(ours_i, ours_f, atol=1e-6, rtol=0)
+
+
 def test_pad_or_trim():
     x = np.ones(100, np.float32)
     assert mel.pad_or_trim(x).shape == (mel.N_SAMPLES,)

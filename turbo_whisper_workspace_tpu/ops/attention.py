@@ -225,7 +225,7 @@ def cross_attention_int8(
     m, d = h * tq, h * dh
     out = pl.pallas_call(
         functools.partial(_bd_attn_int8_kernel, seq_len=seq_len, n_head=h),
-        out_shape=jax.ShapeDtypeStruct((b, m, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, m, dh), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=(b,),
             in_specs=[
@@ -241,12 +241,13 @@ def cross_attention_int8(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * m * tpad * d,
-            bytes_accessed=2 * b * d * tpad + 2 * b * m * dh * 2,
+            bytes_accessed=2 * b * d * tpad + b * m * dh * (2 + 4),
             transcendentals=b * m * tpad,
         ),
         interpret=interpret,
     )(qc, kqf, vq)
-    out = out.astype(jnp.float32).reshape(b, h, tq, dh)
+    out = out.reshape(b, h, tq, dh)  # f32 out of the kernel: v_scale
+    # multiplies in f32, single bf16 rounding at the very end
     return (out * v_scale[:, :, None, None]).astype(q.dtype)
 
 

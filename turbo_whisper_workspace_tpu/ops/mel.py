@@ -210,6 +210,11 @@ def log_mel_spectrogram(
     squeeze = audio.ndim == 1
     if squeeze:
         audio = audio[None]
+    if jnp.issubdtype(audio.dtype, jnp.integer):
+        # int16 PCM straight off the decoders: convert ON DEVICE so the
+        # host→device feed ships half the bytes of float32 (the H2D link
+        # is the scaling bottleneck — docs/SCALING.json)
+        audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
     power = _stft_power_tf(audio, precision=precision)
     mel_w = jnp.asarray(mel_filter_bank(num_mels))
     mel = jnp.einsum("mf,btf->bmt", mel_w, power, precision=precision)
