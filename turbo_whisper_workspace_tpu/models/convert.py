@@ -183,8 +183,13 @@ def load_hf_snapshot(path: str, dtype=jnp.float32):
     return params_from_hf_state_dict(sd, dims, dtype=dtype), dims
 
 
-def save_params(path: str, params) -> None:
-    """Flat .npz save of a parameter pytree."""
+def save_params(path: str, params, meta: dict | None = None) -> None:
+    """Flat .npz save of a parameter pytree.
+
+    `meta` (JSON-serializable, e.g. model dims fields) rides along under
+    the reserved `__meta__` key so loaders can reconstruct the exact
+    architecture from the checkpoint alone — the same role GGUF
+    metadata plays for the reference's llama.cpp engine."""
     flat = {}
 
     def visit(prefix, node):
@@ -199,14 +204,20 @@ def save_params(path: str, params) -> None:
             flat[prefix] = arr
 
     visit("", params)
+    if meta is not None:
+        import json
+
+        flat["__meta__"] = np.asarray(json.dumps(meta))
     np.savez(path, **flat)
 
 
 def load_params(path: str, dtype=None):
-    """Load a flat .npz back into a nested pytree."""
+    """Load a flat .npz back into a nested pytree (skips `__meta__`)."""
     data = np.load(path)
     tree: dict = {}
     for key in data.files:
+        if key == "__meta__":
+            continue
         parts = key.split("/")
         node = tree
         for p in parts[:-1]:
@@ -216,6 +227,16 @@ def load_params(path: str, dtype=None):
             arr = arr.astype(dtype)
         node[parts[-1]] = arr
     return tree
+
+
+def load_meta(path: str) -> dict | None:
+    """Read the `__meta__` dict saved alongside a .npz checkpoint."""
+    import json
+
+    data = np.load(path)
+    if "__meta__" not in data.files:
+        return None
+    return json.loads(str(data["__meta__"]))
 
 
 def save_checkpoint(path: str, params) -> None:

@@ -143,24 +143,33 @@ class SpeakerDiarizer:
         seg_name = segmentation_model or config.segmentation_model
         emb_name = embedding_model or config.embedding_model
 
-        def _load(name: str, kind: str):
+        def _load(name: str, kind: str, dims_cls):
+            """(params, dims) from a converted .npz; dims fields come from
+            the checkpoint's __meta__ so custom geometries round-trip."""
             path = registry.resolve_model_path(name, kind, models_dir=models_dir)
             if path is None or not path.endswith(".npz"):
-                return None
+                return None, None
             try:
-                return convert.load_params(path, dtype=jnp.bfloat16)
+                params = convert.load_params(path, dtype=jnp.bfloat16)
+                meta = convert.load_meta(path)
+                dims = dims_cls(**meta) if meta else None
+                return params, dims
             except Exception as e:  # degrade, never crash
                 import logging
 
                 logging.getLogger(__name__).warning(
                     "failed to load %s checkpoint %s: %s", kind, path, e
                 )
-                return None
+                return None, None
 
+        seg_params, seg_dims = _load(seg_name, "seg", seg_mod.SegmentationDims)
+        emb_params, emb_dims = _load(emb_name, "emb", emb_mod.EmbeddingDims)
         return cls(
             config,
-            seg_params=_load(seg_name, "seg"),
-            emb_params=_load(emb_name, "emb"),
+            seg_params=seg_params,
+            seg_dims=seg_dims,
+            emb_params=emb_params,
+            emb_dims=emb_dims,
             segmentation_model=seg_name,
             embedding_model=emb_name,
         )
