@@ -183,7 +183,10 @@ def check_cdf(name, vals, dims):
 
 def fmt_val(ctype, v):
     if ctype == "float":
-        return f"{v:.9g}f"
+        s = f"{v:.9g}"
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s + "f"
     return str(v)
 
 

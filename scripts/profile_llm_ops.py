@@ -283,6 +283,24 @@ def main():
                    (c0, *wq, *sc), args.iters, S, results,
                    bytes_per_step=L * layer_elems)
 
+        if "xla8" in variants:
+            def body_xla8(c, *flat):
+                xd, xf = inputs(c)
+
+                def layer(c, wss):
+                    outs = []
+                    for wi, si in zip(wss[:7], wss[7:]):
+                        x = xf if wi.shape[0] == ff else xd
+                        w = wi.astype(jnp.bfloat16) * si.astype(jnp.bfloat16)
+                        outs.append((x @ w))
+                    return c + reduce_out(outs), None
+                c, _ = jax.lax.scan(layer, c, (*flat[:7], *flat[7:]))
+                return c
+
+            timeit("layers int8 XLA dequant-einsum", make_loop(S, body_xla8),
+                   (c0, *wq, *sc), args.iters, S, results,
+                   bytes_per_step=L * layer_elems)
+
         if "s8" in variants:
             def body_s8(c, *flat):
                 xd, xf = inputs(c)
@@ -326,6 +344,23 @@ def main():
                 return c
 
             timeit("layers int4 pallas (shipping)", make_loop(S, body_int4),
+                   (c0, *wq4, *sc4), args.iters, S, results,
+                   bytes_per_step=L * layer_elems // 2)
+
+        if "xla4" in variants:
+            def body_xla4(c, *flat):
+                xd, xf = inputs(c)
+
+                def layer(c, wss):
+                    outs = []
+                    for wi, si in zip(wss[:7], wss[7:]):
+                        x = xf if wi.shape[0] == ff // 2 else xd
+                        outs.append(quant._int4_matmul_xla(x, wi, si))
+                    return c + reduce_out(outs), None
+                c, _ = jax.lax.scan(layer, c, (*flat[:7], *flat[7:]))
+                return c
+
+            timeit("layers int4 XLA twin", make_loop(S, body_xla4),
                    (c0, *wq4, *sc4), args.iters, S, results,
                    bytes_per_step=L * layer_elems // 2)
 
@@ -373,6 +408,15 @@ def main():
             return c + out[0, 0].astype(jnp.float32) * 1e-9
 
         timeit("lm_head s8xs8 MXU (prototype)", make_loop(S, body_head_s8),
+               (c0, hq, hs), args.iters, S, results,
+               bytes_per_step=head_elems)
+
+        def body_head_xla(c, hq, hs):
+            xd, _ = inputs(c)
+            w = hq.astype(jnp.bfloat16) * hs.astype(jnp.bfloat16)
+            return c + (xd @ w)[0, 0].astype(jnp.float32) * 1e-9
+
+        timeit("lm_head int8 XLA dequant-einsum", make_loop(S, body_head_xla),
                (c0, hq, hs), args.iters, S, results,
                bytes_per_step=head_elems)
         del hq, hs
