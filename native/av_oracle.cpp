@@ -222,4 +222,37 @@ long av_decode_file(const char* path, float* out, long cap,
     return written;
 }
 
-}  // extern "C"
+
+// Decode raw Opus packets with a NAMED avcodec decoder ("opus" = the
+// native float implementation, "libopus" = the reference wrapper) —
+// lets tests compare two independent system decoders against ours.
+long av_decode_opus(const unsigned char* data, const int* au_off,
+                    const int* au_len, long n_aus, int channels,
+                    const char* decoder_name, float* out, long cap) {
+    const AVCodec* codec = avcodec_find_decoder_by_name(decoder_name);
+    if (!codec) return -1;
+    AVCodecContext* ctx = avcodec_alloc_context3(codec);
+    ctx->sample_rate = 48000;
+    av_channel_layout_default(&ctx->ch_layout, channels);
+    if (avcodec_open2(ctx, codec, nullptr) < 0) return -2;
+    AVFrame* frame = av_frame_alloc();
+    AVPacket* pkt = av_packet_alloc();
+    long written = 0;
+    for (long i = 0; i < n_aus; i++) {
+        av_new_packet(pkt, au_len[i]);
+        std::memcpy(pkt->data, data + au_off[i], au_len[i]);
+        if (avcodec_send_packet(ctx, pkt) < 0) return -3;
+        av_packet_unref(pkt);
+        if (read_frames(ctx, frame, out, cap, written,
+                        ctx->ch_layout.nb_channels) < 0)
+            return -4;
+    }
+    avcodec_send_packet(ctx, nullptr);
+    read_frames(ctx, frame, out, cap, written, ctx->ch_layout.nb_channels);
+    avcodec_free_context(&ctx);
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    return written;
+}
+
+}  // extern "C"\n

@@ -40,6 +40,7 @@ extern "C" void opus_set_rc_trace(opus_rc_trace_fn fn) { g_rc_trace = fn; }
 
 static std::vector<float> g_dump_freq;  // debug hook: last ch0 spectrum
 static std::vector<float> g_dump_energy;
+static std::vector<float> g_dump_silk;  // debug hook: SILK-rate mono output
 
 namespace {
 
@@ -1825,12 +1826,779 @@ void silk_state_free(SilkState*);
 int silk_decode(SilkState& st, RangeDec& rc, const OpusConfig& cfg,
                 float* out_l, float* out_r);
 
-// TEMPORARY stubs until the SILK section lands (CELT-only bring-up)
-struct SilkState {};
+// ---------------------------------------------------------------------------
+// SILK decoder (RFC 6716 §4.2). Float synthesis; all range-decoded
+// parameter paths use the mandated fixed-point arithmetic so the
+// bitstream interpretation is exact.
+
+constexpr int SILK_HISTORY = 322;
+constexpr int SILK_MAX_LAG = 288 + 2;   // max pitch lag + LTP_ORDER/2
+constexpr int LTP_ORDER = 5;
+
+struct SilkSubframe {
+    float gain = 0;
+    int pitchlag = 0;
+    float ltptaps[LTP_ORDER] = {0};
+};
+
+struct SilkFrameState {
+    int coded = 0;
+    int log_gain = 0;
+    int16_t nlsf[16] = {0};
+    float lpc[16] = {0};
+    float output[2 * SILK_HISTORY] = {0};
+    float lpc_history[2 * SILK_HISTORY] = {0};
+    int primarylag = 0;
+    int prev_voiced = 0;
+};
+
+struct SilkState {
+    int midonly = 0;
+    int subframes = 0;
+    int sflength = 0;
+    int flength = 0;
+    int nlsf_interp_factor = 4;
+    int bandwidth = 2;           // 0 NB / 1 MB / 2 WB
+    int wb = 0;
+    SilkFrameState frame[2];
+    float prev_stereo_weights[2] = {0, 0};
+    float stereo_weights[2] = {0, 0};
+    int prev_coded_channels = 0;
+    // output resampler state (per channel): input-rate tail samples
+    std::vector<float> rs_tail[2];
+};
+
 SilkState* silk_state_new(int) { return new SilkState(); }
 void silk_state_free(SilkState* s) { delete s; }
-int silk_decode(SilkState&, RangeDec&, const OpusConfig&, float*, float*) {
-    return -1;
+
+void silk_flush_frame(SilkFrameState& frame) {
+    if (!frame.coded) return;
+    memset(frame.output, 0, sizeof(frame.output));
+    memset(frame.lpc_history, 0, sizeof(frame.lpc_history));
+    memset(frame.lpc, 0, sizeof(frame.lpc));
+    memset(frame.nlsf, 0, sizeof(frame.nlsf));
+    frame.log_gain = 0;
+    frame.primarylag = 0;
+    frame.prev_voiced = 0;
+    frame.coded = 0;
+}
+
+inline int64_t round_mull(int64_t a, int64_t b, int s) {
+    return ((a * b >> (s - 1)) + 1) >> 1;
+}
+inline int sat16(int v) { return v < -32768 ? -32768 : v > 32767 ? 32767 : v; }
+inline float clipf(float v, float lo, float hi) {
+    return v < lo ? lo : v > hi ? hi : v;
+}
+
+void silk_lsp2poly(const int32_t* lsp, int32_t* pol, int half_order) {
+    pol[0] = 65536;
+    pol[1] = -lsp[0];
+    for (int i = 1; i < half_order; i++) {
+        pol[i + 1] = (int32_t)(pol[i - 1] * 2 -
+                               round_mull(lsp[2 * i], pol[i], 16));
+        for (int j = i; j > 1; j--)
+            pol[j] += pol[j - 2] -
+                      (int32_t)round_mull(lsp[2 * i], pol[j - 1], 16);
+        pol[1] -= lsp[2 * i];
+    }
+}
+
+int silk_is_lpc_stable(const int16_t* lpc, int order) {
+    int32_t lpc32[2][16];
+    int64_t totalinvgain = 1 << 30;
+    int32_t* row = lpc32[0];
+    int dc_resp = 0;
+    for (int k = 0; k < order; k++) {
+        dc_resp += lpc[k];
+        row[k] = lpc[k] * 4096;
+    }
+    if (dc_resp >= 4096) return 0;
+    for (int k = order - 1;; k--) {
+        if (std::abs(row[k]) > 16773022) return 0;
+        int64_t rc = -((int64_t)row[k] * 128);
+        int64_t gaindiv = (1 << 30) - ((rc * rc) >> 32);
+        totalinvgain = ((totalinvgain * gaindiv) >> 32) << 2;
+        if (k == 0) return totalinvgain >= 107374;
+        // approximate 1.0/gaindiv
+        int fbits = RangeDec::ilog((uint32_t)gaindiv);
+        int64_t gain = ((1 << 29) - 1) / (gaindiv >> (fbits + 1 - 16));
+        int64_t error =
+            (1 << 29) - (((gaindiv << (15 + 16 - fbits)) * gain) >> 16);
+        gain = ((gain << 16) + ((error * gain) >> 13)) >> 16;
+        int32_t* temp = lpc32[k & 1];
+        for (int j = 0; j < k; j++) {
+            int64_t x = row[j] - round_mull(row[k - j - 1], rc, 31);
+            temp[j] = (int32_t)round_mull(x, gain, fbits - 16);
+        }
+        row = temp;
+    }
+}
+
+void silk_lsf2lpc(const int16_t* nlsf, float* lpc_out, int order, int wb) {
+    int32_t lsf[16], p[9], q[9], lpc32[16];
+    int16_t lpc[16];
+    for (int k = 0; k < order; k++) {
+        int index = nlsf[k] >> 8;
+        int offset = nlsf[k] & 255;
+        int k2 = (order == 10) ? opustab::silk_lsf_ordering_nbmb[k]
+                               : opustab::silk_lsf_ordering_wb[k];
+        int32_t v = opustab::silk_cosine[index] * 256;
+        v += (opustab::silk_cosine[index + 1] - opustab::silk_cosine[index]) *
+             offset;
+        lsf[k2] = (v + 4) >> 3;
+    }
+    silk_lsp2poly(lsf, p, order >> 1);
+    silk_lsp2poly(lsf + 1, q, order >> 1);
+    for (int k = 0; k < order >> 1; k++) {
+        int32_t p_tmp = p[k + 1] + p[k];
+        int32_t q_tmp = q[k + 1] - q[k];
+        lpc32[k] = -q_tmp - p_tmp;
+        lpc32[order - k - 1] = q_tmp - p_tmp;
+    }
+    int i;
+    for (i = 0; i < 10; i++) {
+        uint32_t maxabs = 0;
+        int kmax = 0;
+        for (int j = 0; j < order; j++) {
+            uint32_t x = std::abs(lpc32[j]);
+            if (x > maxabs) {
+                maxabs = x;
+                kmax = j;
+            }
+        }
+        maxabs = (maxabs + 16) >> 5;
+        if (maxabs > 32767) {
+            maxabs = maxabs < 163838 ? maxabs : 163838;
+            uint32_t chirp_base =
+                65470 - (((uint64_t)(maxabs - 32767) << 14) /
+                         ((maxabs * (kmax + 1)) >> 2));
+            uint32_t chirp = chirp_base;
+            for (int k = 0; k < order; k++) {
+                lpc32[k] = (int32_t)round_mull(lpc32[k], chirp, 16);
+                chirp = (chirp_base * chirp + 32768) >> 16;
+            }
+        } else {
+            break;
+        }
+    }
+    if (i == 10) {
+        for (int k = 0; k < order; k++) {
+            int x = (lpc32[k] + 16) >> 5;
+            lpc[k] = sat16(x);
+            lpc32[k] = lpc[k] * 32;
+        }
+    } else {
+        for (int k = 0; k < order; k++) lpc[k] = (lpc32[k] + 16) >> 5;
+    }
+    for (i = 1; i <= 16 && !silk_is_lpc_stable(lpc, order); i++) {
+        uint32_t chirp_base = 65536 - (1 << i);
+        uint32_t chirp = chirp_base;
+        for (int k = 0; k < order; k++) {
+            lpc32[k] = (int32_t)round_mull(lpc32[k], chirp, 16);
+            lpc[k] = (lpc32[k] + 16) >> 5;
+            chirp = (chirp_base * chirp + 32768) >> 16;
+        }
+    }
+    for (int k = 0; k < order; k++) lpc_out[k] = lpc[k] / 4096.0f;
+}
+
+void silk_stabilize_lsf(int16_t* nlsf, int order, const uint16_t* min_delta) {
+    for (int pass = 0; pass < 20; pass++) {
+        int k = 0, min_diff = 0;
+        for (int i = 0; i < order + 1; i++) {
+            int low = i != 0 ? nlsf[i - 1] : 0;
+            int high = i != order ? nlsf[i] : 32768;
+            int diff = (high - low) - min_delta[i];
+            if (diff < min_diff) {
+                min_diff = diff;
+                k = i;
+            }
+        }
+        if (min_diff == 0) return;
+        if (k == 0) {
+            nlsf[0] = min_delta[0];
+        } else if (k == order) {
+            nlsf[order - 1] = 32768 - min_delta[order];
+        } else {
+            int min_center = 0, max_center = 32768;
+            for (int i = 0; i < k; i++) min_center += min_delta[i];
+            min_center += min_delta[k] >> 1;
+            for (int i = order; i > k; i--) max_center -= min_delta[i];
+            max_center -= min_delta[k] >> 1;
+            int center_val = nlsf[k - 1] + nlsf[k];
+            center_val = (center_val >> 1) + (center_val & 1);
+            center_val = imin(imax(center_val, min_center), max_center);
+            nlsf[k - 1] = center_val - (min_delta[k] >> 1);
+            nlsf[k] = nlsf[k - 1] + min_delta[k];
+        }
+    }
+    // fallback: sort + push apart
+    for (int i = 1; i < order; i++) {
+        int value = nlsf[i], j;
+        for (j = i - 1; j >= 0 && nlsf[j] > value; j--) nlsf[j + 1] = nlsf[j];
+        nlsf[j + 1] = (int16_t)value;
+    }
+    if (nlsf[0] < min_delta[0]) nlsf[0] = min_delta[0];
+    for (int i = 1; i < order; i++)
+        nlsf[i] = imax(nlsf[i], imin(nlsf[i - 1] + min_delta[i], 32767));
+    if (nlsf[order - 1] > 32768 - min_delta[order])
+        nlsf[order - 1] = 32768 - min_delta[order];
+    for (int i = order - 2; i >= 0; i--)
+        if (nlsf[i] > nlsf[i + 1] - min_delta[i + 1])
+            nlsf[i] = nlsf[i + 1] - min_delta[i + 1];
+}
+
+void silk_count_children(RangeDec& rc, int model, int32_t total,
+                         int32_t child[2]) {
+    if (total != 0) {
+        child[0] = rc.dec_cdf(opustab::silk_model_pulse_location[model] +
+                              (((total - 1 + 5) * (total - 1)) >> 1));
+        child[1] = total - child[0];
+    } else {
+        child[0] = 0;
+        child[1] = 0;
+    }
+}
+
+void silk_decode_excitation(SilkState& s, RangeDec& rc, float* excitationf,
+                            int qoffset_high, int active, int voiced) {
+    uint32_t seed = rc.dec_cdf(opustab::silk_model_lcg_seed);
+    int shellblocks = opustab::silk_shell_blocks[s.bandwidth][s.subframes >> 2];
+    int ratelevel = rc.dec_cdf(opustab::silk_model_exc_rate[voiced]);
+    uint8_t pulsecount[20], lsbcount[20] = {0};
+    int32_t excitation[320];
+
+    for (int i = 0; i < shellblocks; i++) {
+        pulsecount[i] = rc.dec_cdf(opustab::silk_model_pulse_count[ratelevel]);
+        if (pulsecount[i] == 17) {
+            while (pulsecount[i] == 17 && ++lsbcount[i] != 10)
+                pulsecount[i] = rc.dec_cdf(opustab::silk_model_pulse_count[9]);
+            if (lsbcount[i] == 10)
+                pulsecount[i] =
+                    rc.dec_cdf(opustab::silk_model_pulse_count[10]);
+        }
+    }
+    for (int i = 0; i < shellblocks; i++) {
+        if (pulsecount[i] != 0) {
+            int32_t* location = excitation + 16 * i;
+            int32_t branch1[2], branch2[2], branch3[2];
+            silk_count_children(rc, 0, pulsecount[i], branch1);
+            for (int b = 0; b < 2; b++) {
+                silk_count_children(rc, 1, branch1[b], branch2);
+                for (int c = 0; c < 2; c++) {
+                    silk_count_children(rc, 2, branch2[c], branch3);
+                    for (int d = 0; d < 2; d++) {
+                        silk_count_children(rc, 3, branch3[d], location);
+                        location += 2;
+                    }
+                }
+            }
+        } else {
+            memset(excitation + 16 * i, 0, 16 * sizeof(int32_t));
+        }
+    }
+    for (int i = 0; i < shellblocks << 4; i++) {
+        for (int bit = 0; bit < lsbcount[i >> 4]; bit++)
+            excitation[i] =
+                (excitation[i] << 1) |
+                rc.dec_cdf(opustab::silk_model_excitation_lsb);
+    }
+    for (int i = 0; i < shellblocks << 4; i++) {
+        if (excitation[i] != 0) {
+            int sign = rc.dec_cdf(
+                opustab::silk_model_excitation_sign[active + voiced]
+                                                   [qoffset_high]
+                                                   [imin(pulsecount[i >> 4],
+                                                         6)]);
+            if (sign == 0) excitation[i] *= -1;
+        }
+    }
+    // RFC 4.2.7.8.6: e_Q23 = (e<<8) - sign(e)*20 + offset_Q23, then
+    // pseudorandom sign inversion (offset row 0 = inactive/unvoiced,
+    // row 1 = voiced; column = quantization offset type)
+    int offset = opustab::silk_quant_offset[voiced][qoffset_high];
+    for (int i = 0; i < shellblocks << 4; i++) {
+        int value = excitation[i];
+        excitation[i] = value * 256 + offset;
+        if (value < 0) excitation[i] += 20;
+        else if (value > 0) excitation[i] -= 20;
+        seed = 196314165u * seed + 907633515u;
+        if (seed & 0x80000000u) excitation[i] *= -1;
+        seed += value;
+        excitationf[i] = excitation[i] / 8388608.0f;
+    }
+}
+
+void silk_decode_frame(SilkState& s, RangeDec& rc, int frame_num, int channel,
+                       int coded_channels, int active, int active1) {
+    SilkFrameState& frame = s.frame[channel];
+    int order = s.wb ? 16 : 10;
+    SilkSubframe sf[4];
+
+    // stereo weights (mid channel of a stereo stream)
+    if (coded_channels == 2 && channel == 0) {
+        int n = rc.dec_cdf(opustab::silk_model_stereo_s1);
+        int wi[2], ws[2], w[2];
+        wi[0] = rc.dec_cdf(opustab::silk_model_stereo_s2) + 3 * (n / 5);
+        ws[0] = rc.dec_cdf(opustab::silk_model_stereo_s3);
+        wi[1] = rc.dec_cdf(opustab::silk_model_stereo_s2) + 3 * (n % 5);
+        ws[1] = rc.dec_cdf(opustab::silk_model_stereo_s3);
+        for (int i = 0; i < 2; i++)
+            w[i] = opustab::silk_stereo_weights[wi[i]] +
+                   (((opustab::silk_stereo_weights[wi[i] + 1] -
+                      opustab::silk_stereo_weights[wi[i]]) *
+                     6554) >>
+                    16) *
+                       (ws[i] * 2 + 1);
+        s.stereo_weights[0] = (w[0] - w[1]) / 8192.0f;
+        s.stereo_weights[1] = w[1] / 8192.0f;
+        s.midonly = active1 ? 0 : rc.dec_bit_logp(1);
+    }
+
+    // frame type
+    int qoffset_high, voiced;
+    if (!active) {
+        qoffset_high = rc.dec_cdf(opustab::silk_model_frame_type_inactive);
+        voiced = 0;
+    } else {
+        int type = rc.dec_cdf(opustab::silk_model_frame_type_active);
+        qoffset_high = type & 1;
+        voiced = type >> 1;
+    }
+
+    // subframe gains
+    for (int i = 0; i < s.subframes; i++) {
+        int log_gain;
+        if (i == 0 && (frame_num == 0 || !frame.coded)) {
+            int x = rc.dec_cdf(
+                opustab::silk_model_gain_highbits[active + voiced]);
+            log_gain = (x << 3) | rc.dec_cdf(opustab::silk_model_gain_lowbits);
+            if (frame.coded) log_gain = imax(log_gain, frame.log_gain - 16);
+        } else {
+            int delta_gain = rc.dec_cdf(opustab::silk_model_gain_delta);
+            log_gain = imin(
+                imax(imax(2 * delta_gain - 16,
+                          frame.log_gain + delta_gain - 4),
+                     0),
+                63);
+        }
+        frame.log_gain = log_gain;
+        // dequant via the mandated silk_log2lin integer approximation
+        // of 2^(x/128) (Q16 gain)
+        int lg = ((log_gain * 0x1D1C71) >> 16) + 2090;
+        int gi = lg >> 7, gf = lg & 127;
+        int64_t glin = 1LL << gi;
+        glin += (glin >> 7) * (gf + (((174 * gf - 22272) * gf) >> 16));
+        sf[i].gain = (float)glin * 1.52587890625e-05f;  // 2^-16
+        if (getenv("OPUS_DEBUG"))
+            fprintf(stderr, "sf%d log_gain=%d gain=%g voiced=%d active=%d\n",
+                    i, log_gain, sf[i].gain, voiced, active);
+    }
+
+    // LSFs
+    int16_t nlsf[16], nlsf_leadin[16];
+    int lsf_i1 =
+        rc.dec_cdf(opustab::silk_model_lsf_s1[s.wb][voiced]);
+    int lsf_i2[16];
+    const uint8_t* cb_sel = s.wb ? opustab::silk_lsf_s2_model_sel_wb[lsf_i1]
+                                 : opustab::silk_lsf_s2_model_sel_nbmb[lsf_i1];
+    for (int i = 0; i < order; i++) {
+        int index = rc.dec_cdf(opustab::silk_model_lsf_s2[cb_sel[i]]) - 4;
+        if (index == -4)
+            index -= rc.dec_cdf(opustab::silk_model_lsf_s2_ext);
+        else if (index == 4)
+            index += rc.dec_cdf(opustab::silk_model_lsf_s2_ext);
+        lsf_i2[i] = index;
+    }
+    // backwards prediction (RFC 4.2.7.5.2): res[k] = dequant(i2[k]) +
+    // (res[k+1] * pred_weight[k]) >> 8, k descending
+    int lsf_res[16];
+    for (int i = order - 1; i >= 0; i--) {
+        int qstep = s.wb ? 9830 : 11796;
+        lsf_res[i] = lsf_i2[i] * 1024;
+        if (lsf_i2[i] < 0) lsf_res[i] += 102;
+        else if (lsf_i2[i] > 0) lsf_res[i] -= 102;
+        lsf_res[i] = (lsf_res[i] * qstep) >> 16;
+        if (i + 1 < order) {
+            int wsel = s.wb ? opustab::silk_lsf_weight_sel_wb[lsf_i1][i]
+                            : opustab::silk_lsf_weight_sel_nbmb[lsf_i1][i];
+            int weight = s.wb ? opustab::silk_lsf_pred_weights_wb[wsel][i]
+                              : opustab::silk_lsf_pred_weights_nbmb[wsel][i];
+            lsf_res[i] += (lsf_res[i + 1] * weight) >> 8;
+        }
+    }
+    const uint8_t* codebook = s.wb ? opustab::silk_lsf_codebook_wb[lsf_i1]
+                                   : opustab::silk_lsf_codebook_nbmb[lsf_i1];
+    for (int i = 0; i < order; i++) {
+        int cur = codebook[i];
+        int prev = i ? codebook[i - 1] : 0;
+        int next = i + 1 < order ? codebook[i + 1] : 256;
+        int weight_sq = (1024 / (cur - prev) + 1024 / (next - cur)) << 16;
+        int ipart = RangeDec::ilog(weight_sq);
+        int fpart = (weight_sq >> (ipart - 8)) & 127;
+        int y = ((ipart & 1) ? 32768 : 46214) >> ((32 - ipart) >> 1);
+        int weight = y + ((213 * fpart * y) >> 16);
+        int value = cur * 128 + (lsf_res[i] * 16384) / weight;
+        nlsf[i] = (int16_t)imin(imax(value, 0), 32767);
+    }
+    if (getenv("OPUS_DEBUG")) {
+        fprintf(stderr, "raw_nlsf:");
+        for (int i = 0; i < order; i++) fprintf(stderr, " %d", nlsf[i]);
+        fprintf(stderr, "\nlsf_i1=%d lsf_res:", lsf_i1);
+        for (int i = 0; i < order; i++) fprintf(stderr, " %d", lsf_res[i]);
+        fprintf(stderr, "\n");
+    }
+    silk_stabilize_lsf(nlsf, order,
+                       s.wb ? opustab::silk_lsf_min_spacing_wb
+                            : opustab::silk_lsf_min_spacing_nbmb);
+    float lpc[16], lpc_leadin[16];
+    silk_lsf2lpc(nlsf, lpc, order, s.wb);
+    if (getenv("OPUS_DEBUG")) {
+        fprintf(stderr, "nlsf:");
+        for (int i = 0; i < order; i++) fprintf(stderr, " %d", nlsf[i]);
+        fprintf(stderr, "\nlpc:");
+        for (int i = 0; i < order; i++) fprintf(stderr, " %g", lpc[i]);
+        fprintf(stderr, "\n");
+    }
+
+    int has_lpc_leadin = 0;
+    if (s.subframes == 4) {
+        int offset =
+            rc.dec_cdf(opustab::silk_model_lsf_interpolation_offset);
+        if (getenv("OPUS_DEBUG"))
+            fprintf(stderr, "interp offset=%d coded=%d\n", offset,
+                    frame.coded);
+        if (offset != 4 && frame.coded) {
+            s.nlsf_interp_factor = offset;
+            for (int i = 0; i < order; i++)
+                nlsf_leadin[i] =
+                    frame.nlsf[i] +
+                    (int16_t)(((nlsf[i] - frame.nlsf[i]) * offset) >> 2);
+            silk_lsf2lpc(nlsf_leadin, lpc_leadin, order, s.wb);
+            has_lpc_leadin = 1;
+        } else {
+            s.nlsf_interp_factor = 4;
+        }
+    } else {
+        s.nlsf_interp_factor = 4;
+    }
+    memcpy(frame.nlsf, nlsf, order * sizeof(int16_t));
+
+    // pitch lags + LTP filter (voiced)
+    float ltpscale = 15565.0f / 16384.0f;
+    if (voiced) {
+        int lag_absolute = (!frame_num || !frame.prev_voiced);
+        int primarylag = frame.primarylag;
+        if (!lag_absolute) {
+            int delta = rc.dec_cdf(opustab::silk_model_pitch_delta);
+            if (delta)
+                primarylag = frame.primarylag + delta - 9;
+            else
+                lag_absolute = 1;
+        }
+        if (lag_absolute) {
+            const uint16_t* lowbits_model[3] = {
+                opustab::silk_model_pitch_lowbits_nb,
+                opustab::silk_model_pitch_lowbits_mb,
+                opustab::silk_model_pitch_lowbits_wb};
+            int highbits = rc.dec_cdf(opustab::silk_model_pitch_highbits);
+            int lowbits = rc.dec_cdf(lowbits_model[s.bandwidth]);
+            primarylag = opustab::silk_pitch_min_lag[s.bandwidth] +
+                         highbits * opustab::silk_pitch_scale[s.bandwidth] +
+                         lowbits;
+        }
+        frame.primarylag = primarylag;
+
+        const int8_t* offsets;
+        if (s.subframes == 2) {
+            offsets =
+                s.bandwidth == 0
+                    ? opustab::silk_pitch_offset_nb10ms[rc.dec_cdf(
+                          opustab::silk_model_pitch_contour_nb10ms)]
+                    : opustab::silk_pitch_offset_mbwb10ms[rc.dec_cdf(
+                          opustab::silk_model_pitch_contour_mbwb10ms)];
+        } else {
+            offsets =
+                s.bandwidth == 0
+                    ? opustab::silk_pitch_offset_nb20ms[rc.dec_cdf(
+                          opustab::silk_model_pitch_contour_nb20ms)]
+                    : opustab::silk_pitch_offset_mbwb20ms[rc.dec_cdf(
+                          opustab::silk_model_pitch_contour_mbwb20ms)];
+        }
+        for (int i = 0; i < s.subframes; i++)
+            sf[i].pitchlag =
+                imin(imax(primarylag + offsets[i],
+                          (int)opustab::silk_pitch_min_lag[s.bandwidth]),
+                     (int)opustab::silk_pitch_max_lag[s.bandwidth]);
+
+        if (getenv("OPUS_DEBUG"))
+            fprintf(stderr, "voiced frame: primarylag=%d lags=%d,%d,%d,%d\n",
+                    primarylag, sf[0].pitchlag, sf[1].pitchlag,
+                    sf[2].pitchlag, sf[3].pitchlag);
+        int ltpfilter = rc.dec_cdf(opustab::silk_model_ltp_filter);
+        const uint16_t* filter_sel[3] = {
+            opustab::silk_model_ltp_filter0_sel,
+            opustab::silk_model_ltp_filter1_sel,
+            opustab::silk_model_ltp_filter2_sel};
+        for (int i = 0; i < s.subframes; i++) {
+            int index = rc.dec_cdf(filter_sel[ltpfilter]);
+            const int8_t* taps =
+                ltpfilter == 0 ? opustab::silk_ltp_filter0_taps[index]
+                : ltpfilter == 1 ? opustab::silk_ltp_filter1_taps[index]
+                                 : opustab::silk_ltp_filter2_taps[index];
+            for (int j = 0; j < LTP_ORDER; j++)
+                sf[i].ltptaps[j] = taps[j] / 128.0f;
+        }
+    }
+    if (voiced && frame_num == 0)
+        ltpscale = opustab::silk_ltp_scale_factor[rc.dec_cdf(
+                       opustab::silk_model_ltp_scale_index)] /
+                   16384.0f;
+
+    // excitation
+    float residual[SILK_MAX_LAG + 320];
+    silk_decode_excitation(s, rc, residual + SILK_MAX_LAG, qoffset_high,
+                           active, voiced);
+
+    // synthesis
+    for (int i = 0; i < s.subframes; i++) {
+        const float* lpc_coeff = (i < 2 && has_lpc_leadin) ? lpc_leadin : lpc;
+        float* dst = frame.output + SILK_HISTORY + i * s.sflength;
+        float* resptr = residual + SILK_MAX_LAG + i * s.sflength;
+        float* lpc_hist = frame.lpc_history + SILK_HISTORY + i * s.sflength;
+        if (voiced) {
+            int out_end;
+            float rescale;
+            if (i < 2 || s.nlsf_interp_factor == 4) {
+                out_end = -i * s.sflength;
+                rescale = ltpscale;
+            } else {
+                out_end = -(i - 2) * s.sflength;
+                rescale = 1.0f;
+            }
+            for (int j = -sf[i].pitchlag - LTP_ORDER / 2; j < out_end; j++) {
+                float sum = dst[j];
+                for (int k = 0; k < order; k++)
+                    sum -= lpc_coeff[k] * dst[j - k - 1];
+                resptr[j] = clipf(sum, -1.0f, 1.0f) * rescale / sf[i].gain;
+            }
+            if (out_end) {
+                float rescale2 = sf[i - 1].gain / sf[i].gain;
+                for (int j = out_end; j < 0; j++) resptr[j] *= rescale2;
+            }
+            for (int j = 0; j < s.sflength; j++) {
+                float sum = resptr[j];
+                for (int k = 0; k < LTP_ORDER; k++)
+                    sum += sf[i].ltptaps[k] *
+                           resptr[j - sf[i].pitchlag + LTP_ORDER / 2 - k];
+                resptr[j] = sum;
+            }
+        }
+        if (getenv("OPUS_DEBUG2") && i == 3)
+            for (int j = 0; j < 8; j++)
+                fprintf(stderr, "sub3 res[%d]=%g\n", j, resptr[j]);
+        // LPC synthesis
+        for (int j = 0; j < s.sflength; j++) {
+            float sum = resptr[j] * sf[i].gain;
+            for (int k = 1; k <= order; k++)
+                sum += lpc_coeff[k - 1] * lpc_hist[j - k];
+            lpc_hist[j] = sum;
+            dst[j] = clipf(sum, -1.0f, 1.0f);
+        }
+        if (getenv("OPUS_DEBUG") && i == 0)
+            fprintf(stderr, "res[0..3]=%g %g %g %g out[0..3]=%g %g %g %g\n",
+                    resptr[0], resptr[1], resptr[2], resptr[3],
+                    dst[0], dst[1], dst[2], dst[3]);
+    }
+
+    frame.prev_voiced = voiced;
+    memmove(frame.lpc_history, frame.lpc_history + s.flength,
+            SILK_HISTORY * sizeof(float));
+    memmove(frame.output, frame.output + s.flength,
+            SILK_HISTORY * sizeof(float));
+    frame.coded = 1;
+}
+
+void silk_unmix_ms(SilkState& s, float* l, float* r) {
+    // note: called AFTER the per-frame history shift, so the just-
+    // decoded frame sits at [SILK_HISTORY - flength, SILK_HISTORY)
+    float* mid = s.frame[0].output + SILK_HISTORY - s.flength;
+    float* side = s.frame[1].output + SILK_HISTORY - s.flength;
+    float w0_prev = s.prev_stereo_weights[0];
+    float w1_prev = s.prev_stereo_weights[1];
+    float w0 = s.stereo_weights[0];
+    float w1 = s.stereo_weights[1];
+    int n1 = opustab::silk_stereo_interp_len[s.bandwidth];
+    int i;
+    for (i = 0; i < n1; i++) {
+        float interp0 = w0_prev + i * (w0 - w0_prev) / n1;
+        float interp1 = w1_prev + i * (w1 - w1_prev) / n1;
+        float p0 = 0.25f * (mid[i - 2] + 2 * mid[i - 1] + mid[i]);
+        l[i] = clipf((1 + interp1) * mid[i - 1] + side[i - 1] + interp0 * p0,
+                     -1.0f, 1.0f);
+        r[i] = clipf((1 - interp1) * mid[i - 1] - side[i - 1] - interp0 * p0,
+                     -1.0f, 1.0f);
+    }
+    for (; i < s.flength; i++) {
+        float p0 = 0.25f * (mid[i - 2] + 2 * mid[i - 1] + mid[i]);
+        l[i] = clipf((1 + w1) * mid[i - 1] + side[i - 1] + w0 * p0, -1.0f,
+                     1.0f);
+        r[i] = clipf((1 - w1) * mid[i - 1] - side[i - 1] - w0 * p0, -1.0f,
+                     1.0f);
+    }
+    memcpy(s.prev_stereo_weights, s.stereo_weights,
+           sizeof(s.stereo_weights));
+}
+
+// windowed-sinc polyphase upsampler (8/12/16 kHz -> 48 kHz)
+struct SincBank {
+    int L;                       // upsample factor
+    int taps;                    // per input sample
+    std::vector<float> h;        // [L][taps]
+};
+
+const SincBank& sinc_bank(int L) {
+    static SincBank banks[7];
+    SincBank& b = banks[L];
+    if (b.h.empty()) {
+        b.L = L;
+        b.taps = 33;                 // odd -> integer group delay
+        b.h.resize(L * b.taps);
+        double cutoff = 0.96 / 2.0;  // of the input rate
+        double beta = 9.0;
+        auto bessel_i0 = [](double x) {
+            double s = 1, t = 1;
+            for (int k = 1; k < 32; k++) {
+                t *= (x / (2 * k)) * (x / (2 * k));
+                s += t;
+            }
+            return s;
+        };
+        double i0b = bessel_i0(beta);
+        int center = (b.taps - 1) * L / 2;  // in output-sample units
+        for (int p = 0; p < L; p++) {
+            for (int t = 0; t < b.taps; t++) {
+                // output position of this tap relative to the filter center
+                double m = (t * L + p) - center;
+                double tt = m / L;  // in input samples
+                double sinc = tt == 0
+                                  ? 2 * cutoff
+                                  : std::sin(2 * M_PI * cutoff * tt) /
+                                        (M_PI * tt);
+                double u = m / center;
+                double win =
+                    std::abs(u) <= 1
+                        ? bessel_i0(beta * std::sqrt(1 - u * u)) / i0b
+                        : 0.0;
+                b.h[p * b.taps + t] = (float)(sinc * win);
+            }
+        }
+    }
+    return b;
+}
+
+// upsample `n` input samples to n*L output; tail keeps (taps-1) inputs
+void sinc_resample(std::vector<float>& tail, const float* in, int n, int L,
+                   float* out) {
+    const SincBank& b = sinc_bank(L);
+    int T = b.taps;
+    std::vector<float> buf(tail.size() + n);
+    memcpy(buf.data(), tail.data(), tail.size() * sizeof(float));
+    memcpy(buf.data() + tail.size(), in, n * sizeof(float));
+    // output sample (i, phase p) uses inputs buf[i .. i+T)
+    for (int i = 0; i < n; i++) {
+        for (int p = 0; p < L; p++) {
+            const float* hh = &b.h[p * T];
+            const float* x = buf.data() + i;
+            float acc = 0;
+            for (int t = 0; t < T; t++) acc += hh[T - 1 - t] * x[t];
+            out[i * L + p] = acc;
+        }
+    }
+    // keep last T-1 inputs (plus alignment) for next call
+    tail.assign(buf.end() - (T - 1), buf.end());
+}
+
+// decode the SILK part of one Opus frame; writes 48 kHz samples
+int silk_decode(SilkState& s, RangeDec& rc, const OpusConfig& cfg,
+                float* out_l, float* out_r) {
+    int coded_channels = cfg.stereo ? 2 : 1;
+    int duration_ms = cfg.frame_ms_x4 / 4;
+    // hybrid mode: SILK runs wideband
+    int bandwidth = cfg.mode == 1 ? 2 : imin(cfg.bandwidth, 2);
+    int nb_frames = 1 + (duration_ms > 20) + (duration_ms > 40);
+    s.subframes = duration_ms / nb_frames / 5;
+    s.bandwidth = bandwidth;
+    s.wb = bandwidth == 2;
+    s.sflength = 20 * (bandwidth + 2);
+    s.flength = s.sflength * s.subframes;
+
+    if (coded_channels > s.prev_coded_channels) silk_flush_frame(s.frame[1]);
+    s.prev_coded_channels = coded_channels;
+
+    int active[2][3] = {{0}}, redundancy[2] = {0, 0};
+    for (int i = 0; i < coded_channels; i++) {
+        for (int j = 0; j < nb_frames; j++)
+            active[i][j] = rc.dec_bit_logp(1);
+        redundancy[i] = rc.dec_bit_logp(1);
+    }
+    for (int i = 0; i < coded_channels; i++) {
+        if (redundancy[i] && duration_ms > 20) {
+            redundancy[i] =
+                rc.dec_cdf(duration_ms == 40
+                               ? opustab::silk_model_lbrr_flags_40
+                               : opustab::silk_model_lbrr_flags_60) +
+                1;
+        }
+    }
+    // LBRR frames (decoded to keep the bitstream in sync)
+    for (int i = 0; i < nb_frames; i++) {
+        for (int j = 0; j < coded_channels; j++)
+            if (redundancy[j] & (1 << i)) {
+                int active1 =
+                    (j == 0 && !(redundancy[1] & (1 << i))) ? 0 : 1;
+                silk_decode_frame(s, rc, i, j, coded_channels, 1, active1);
+            }
+    }
+    // regular frames
+    int L = 48000 / (8000 * (bandwidth + 1 + (bandwidth == 2)));
+    // rates: NB 8k (L=6), MB 12k (L=4), WB 16k (L=3)
+    static const int LF[3] = {6, 4, 3};
+    L = LF[bandwidth];
+    int out48_per_frame = s.flength * L;
+    if (s.rs_tail[0].empty()) {
+        s.rs_tail[0].assign(sinc_bank(L).taps - 1, 0.0f);
+        s.rs_tail[1].assign(sinc_bank(L).taps - 1, 0.0f);
+    }
+    std::vector<float> lbuf(s.flength), rbuf(s.flength);
+    int total48 = 0;
+    for (int i = 0; i < nb_frames; i++) {
+        for (int j = 0; j < coded_channels; j++) {
+            if (!(j == 1 && s.midonly))
+                silk_decode_frame(s, rc, i, j, coded_channels, active[j][i],
+                                  j == 0 ? (coded_channels == 2
+                                                ? active[1][i]
+                                                : 1)
+                                         : 1);
+        }
+        if (coded_channels == 2) {
+            if (s.midonly) silk_flush_frame(s.frame[1]);
+            silk_unmix_ms(s, lbuf.data(), rbuf.data());
+        } else {
+            float* mid = s.frame[0].output + SILK_HISTORY - s.flength;
+            memcpy(lbuf.data(), mid, s.flength * sizeof(float));
+        }
+        g_dump_silk.insert(g_dump_silk.end(), lbuf.begin(), lbuf.end());
+        sinc_resample(s.rs_tail[0], lbuf.data(), s.flength, L,
+                      out_l + total48);
+        if (out_r)
+            sinc_resample(s.rs_tail[1],
+                          coded_channels == 2 ? rbuf.data() : lbuf.data(),
+                          s.flength, L, out_r + total48);
+        total48 += out48_per_frame;
+    }
+    return total48;
 }
 
 struct OpusStream {
@@ -1872,6 +2640,23 @@ int OpusStream::decode_packet(const uint8_t* data, int len, float* pcm,
             if (n < 0) return -1;
             if (!cfg.stereo) memcpy(cr.data(), cl.data(),
                                     fs48 * sizeof(float));
+            // mode-transition redundancy block (RFC 6716 §3.4 / §4.4):
+            // consume the signaling and shrink the raw-bit region; the
+            // redundant CELT frame itself is for PLC and is skipped
+            uint32_t bits8 = (uint32_t)sizes[f] * 8;
+            int redundancy = 0;
+            uint32_t red_size = 0;
+            if (cfg.mode == 1 && rc.tell() + 37 <= bits8)
+                redundancy = rc.dec_bit_logp(12);
+            else if (cfg.mode == 0 && rc.tell() + 17 <= bits8)
+                redundancy = 1;
+            if (redundancy) {
+                rc.dec_bit_logp(1);  // celt_to_silk position flag
+                if (cfg.mode == 1) {
+                    red_size = rc.dec_uint(256) + 2;
+                    if (red_size <= rc.storage) rc.storage -= red_size;
+                }
+            }
         }
         if (cfg.mode == 1 || cfg.mode == 2) {
             // CELT part: LM from frame size (2.5/5/10/20ms only)
@@ -1964,6 +2749,12 @@ long opus_test_mdct(const float* in, int n2, int frames, float* out) {
         memcpy(out + f * n2, syn.data(), n2 * sizeof(float));
     }
     return (long)frames * n2;
+}
+long opus_test_get_silk(float* out, long cap) {
+    long n = (long)g_dump_silk.size() < cap ? g_dump_silk.size() : cap;
+    memcpy(out, g_dump_silk.data(), n * sizeof(float));
+    g_dump_silk.clear();
+    return n;
 }
 long opus_test_get_energy(float* out, long cap) {
     long n = (long)g_dump_energy.size() < cap ? g_dump_energy.size() : cap;

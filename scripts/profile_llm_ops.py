@@ -260,7 +260,7 @@ def main():
                args.iters, S, results, bytes_per_step=2 * L * layer_elems)
         del ws
 
-    if "int8" in variants or "s8" in variants:
+    if any(v in variants for v in ("int8", "s8", "xla8")):
         wq = [jnp.asarray(rng.integers(-127, 128, (L, k, n)), jnp.int8)
               for _, k, n in shapes]
         sc = [jnp.full((L, n), 0.01, jnp.float32) for _, k, n in shapes]
@@ -323,7 +323,7 @@ def main():
                    bytes_per_step=L * layer_elems)
         del wq, sc
 
-    if "int4" in variants or "s8g4" in variants:
+    if any(v in variants for v in ("int4", "s8g4", "xla4")):
         wq4 = [jnp.asarray(rng.integers(-128, 128, (L, k // 2, n)), jnp.int8)
                for _, k, n in shapes]
         sc4 = [jnp.full((L, k // GROUP, n), 0.01, jnp.float32)
