@@ -2153,7 +2153,8 @@ void silk_decode_frame(SilkState& s, RangeDec& rc, int frame_num, int channel,
                        (ws[i] * 2 + 1);
         s.stereo_weights[0] = (w[0] - w[1]) / 8192.0f;
         s.stereo_weights[1] = w[1] / 8192.0f;
-        s.midonly = active1 ? 0 : rc.dec_bit_logp(1);
+        s.midonly =
+            active1 ? 0 : rc.dec_cdf(opustab::silk_model_mid_only);
     }
 
     // frame type
@@ -2607,8 +2608,19 @@ struct OpusStream {
     SilkState* silk = nullptr;
     int prev_mode = -1;
     bool celt_inited = false;
+    // hybrid alignment: the SILK 48k path carries the resampler's group
+    // delay; the CELT path is delayed to match (samples at 48 kHz)
+    int celt_delay = 0;
+    std::vector<float> celt_dline[2];
 
-    explicit OpusStream(int ch) : channels(ch) { celt.reset(ch); }
+    explicit OpusStream(int ch) : channels(ch) {
+        celt.reset(ch);
+        // measured against the system decoder: its SILK 48 kHz path
+        // trails CELT by 39 samples; ours trails by 48 (taps=33, L=3
+        // polyphase), so delaying CELT 9 samples aligns the hybrid sum
+        const char* d = getenv("OPUS_HYBRID_CELT_DELAY");
+        celt_delay = d ? atoi(d) : 9;
+    }
     ~OpusStream() { silk_state_free(silk); }
 
     // decode one packet; pcm is interleaved float48k [-1,1]; returns
@@ -2676,6 +2688,26 @@ int OpusStream::decode_packet(const uint8_t* data, int len, float* pcm,
             if (n < 0) return -1;
             if (!cfg.stereo) memcpy(er.data(), el.data(),
                                     fs48 * sizeof(float));
+            // the reference's MONO SILK output carries 2 extra samples
+            // of delay (at the SILK rate) that its stereo unmix path
+            // does not; match by delaying CELT 6 more in stereo
+            int cd = celt_delay + (cfg.stereo ? 6 : 0);
+            if (cfg.mode == 1 && cd > 0) {
+                // run the CELT samples through the alignment delay line
+                for (int c = 0; c < 2; c++) {
+                    if ((int)celt_dline[c].size() != cd)
+                        celt_dline[c].assign(cd, 0.0f);
+                    float* buf_ = c == 0 ? el.data() : er.data();
+                    std::vector<float> tmp(cd);
+                    memcpy(tmp.data(), buf_ + fs48 - cd,
+                           cd * sizeof(float));
+                    memmove(buf_ + cd, buf_,
+                            (fs48 - cd) * sizeof(float));
+                    memcpy(buf_, celt_dline[c].data(),
+                           cd * sizeof(float));
+                    celt_dline[c] = tmp;
+                }
+            }
             for (int j = 0; j < fs48; j++) {
                 cl[j] += el[j] * (1.0f / 32768);
                 cr[j] += er[j] * (1.0f / 32768);
@@ -2761,6 +2793,138 @@ long opus_test_get_energy(float* out, long cap) {
     memcpy(out, g_dump_energy.data(), n * sizeof(float));
     return n;
 }
+
+// ---------------------------------------------------------------------------
+// Ogg Opus file decode (RFC 7845): page demux, OpusHead (pre-skip,
+// channel count, output gain), OpusTags skip, granule-based end trim.
+
+namespace {
+
+struct OggOpusReader {
+    const uint8_t* data;
+    size_t size;
+    size_t pos = 0;
+    uint32_t serial = 0;
+    bool have_serial = false;
+    std::vector<uint8_t> partial;  // packet continued across pages
+    std::vector<std::vector<uint8_t>> packets;
+    int64_t last_granule = -1;
+
+    bool read_page() {
+        // find "OggS"
+        while (pos + 27 <= size &&
+               !(data[pos] == 'O' && data[pos + 1] == 'g' &&
+                 data[pos + 2] == 'g' && data[pos + 3] == 'S'))
+            pos++;
+        if (pos + 27 > size) return false;
+        const uint8_t* p = data + pos;
+        int hdr_type = p[5];
+        int64_t granule;
+        memcpy(&granule, p + 6, 8);
+        uint32_t ser;
+        memcpy(&ser, p + 14, 4);
+        int nsegs = p[26];
+        if (pos + 27 + nsegs > size) return false;
+        const uint8_t* lace = p + 27;
+        size_t body = pos + 27 + nsegs;
+        size_t total = 0;
+        for (int i = 0; i < nsegs; i++) total += lace[i];
+        if (body + total > size) return false;
+        if (!have_serial) {
+            serial = ser;
+            have_serial = true;
+        }
+        if (ser == serial) {
+            if (!(hdr_type & 1)) partial.clear();  // fresh packet start
+            const uint8_t* q = body + data;
+            for (int i = 0; i < nsegs; i++) {
+                partial.insert(partial.end(), q, q + lace[i]);
+                q += lace[i];
+                if (lace[i] < 255) {
+                    packets.push_back(partial);
+                    partial.clear();
+                }
+            }
+            if (granule >= 0) last_granule = granule;
+        }
+        pos = body + total;
+        return true;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+static long ogg_opus_parse(const uint8_t* data, long size,
+                           OggOpusReader& rd, int* channels, int* preskip,
+                           float* gain_lin) {
+    rd.data = data;
+    rd.size = (size_t)size;
+    while (rd.read_page()) {}
+    if (rd.packets.size() < 2) return -1;
+    const auto& head = rd.packets[0];
+    if (head.size() < 19 || memcmp(head.data(), "OpusHead", 8) != 0)
+        return -1;
+    *channels = head[9];
+    *preskip = head[10] | (head[11] << 8);
+    int16_t gain_q8 = (int16_t)(head[16] | (head[17] << 8));
+    *gain_lin = std::pow(10.0f, gain_q8 / (20.0f * 256.0f));
+    if (head[18] != 0) return -2;  // mapping family >0 unsupported
+    if (*channels < 1 || *channels > 2) return -2;
+    return (long)rd.packets.size();
+}
+
+long opus_file_info(const uint8_t* data, long size, int* sr, int* ch) {
+    OggOpusReader rd;
+    int channels, preskip;
+    float gain;
+    if (ogg_opus_parse(data, size, rd, &channels, &preskip, &gain) < 0)
+        return -1;
+    *sr = 48000;
+    *ch = channels;
+    if (rd.last_granule > preskip)
+        return (long)(rd.last_granule - preskip);
+    // no granule: bound by 120 ms per audio packet
+    return (long)(rd.packets.size() - 2) * 5760;
+}
+
+long opus_file_decode(const uint8_t* data, long size, float* out, long cap,
+                      int* sr, int* ch) {
+    OggOpusReader rd;
+    int channels, preskip;
+    float gain;
+    long npkts = ogg_opus_parse(data, size, rd, &channels, &preskip, &gain);
+    if (npkts < 0) return npkts;
+    *sr = 48000;
+    *ch = channels;
+    OpusStream stream(channels);
+    long total = 0;
+    // packets[1] is OpusTags; audio starts at index 2
+    for (size_t i = 2; i < rd.packets.size(); i++) {
+        const auto& p = rd.packets[i];
+        if (p.empty()) continue;
+        if ((total + 5760) * channels > cap) break;
+        int n = stream.decode_packet(p.data(), (int)p.size(),
+                                     out + total * channels, 5760);
+        if (n < 0) return -3;
+        total += n;
+    }
+    // apply output gain, drop pre-skip, trim to granule
+    if (gain != 1.0f)
+        for (long i = 0; i < total * channels; i++) out[i] *= gain;
+    long start = preskip;
+    long end = total;
+    if (rd.last_granule > preskip &&
+        rd.last_granule - preskip <= total - start)
+        end = start + (long)(rd.last_granule - preskip);
+    long frames = end > start ? end - start : 0;
+    memmove(out, out + start * channels,
+            frames * channels * sizeof(float));
+    return frames;
+}
+
+}  // extern "C"
 
 // --- test hooks: drive the range decoder op-by-op (differential vs
 // the system implementation in tests; not part of the decode API) ----------

@@ -145,3 +145,35 @@ def test_quantized_llama_close_to_dense():
     corr = np.corrcoef(dense.ravel(), qq.ravel())[0, 1]
     assert corr > 0.999
     assert (dense.argmax(-1) == qq.argmax(-1)).mean() > 0.95
+
+
+def test_int4_s8_decode_kernel(rng):
+    """W4A8 decode kernel (grouped int8 activations x packed int4 MXU
+    dots) tracks the true product within activation-quant noise."""
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((1, 256)).astype(np.float32) * 0.5
+    w = rng.standard_normal((256, 384)).astype(np.float32) * 0.05
+    q = quant.quantize_int4(w, group=64)
+    xq, xs = quant.quant_act_grouped(jnp.asarray(x), 256 // 64)
+    out = np.asarray(quant.int4_matmul_s8(xq, xs, q["w_q4"], q["scale4"],
+                                          block_n=128, interpret=True))
+    ref = np.asarray(
+        quant._int4_matmul_xla(jnp.asarray(x), q["w_q4"], q["scale4"])
+    ).astype(np.float32)
+    rel = np.abs(out - ref).mean() / max(np.abs(ref).mean(), 1e-9)
+    assert rel < 0.05, rel  # W8 activation quant adds ~1% noise
+
+
+def test_int8_xla_matches_kernel(rng):
+    """The decode-path XLA dequant-einsum equals the Pallas kernel."""
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((1, 128)).astype(np.float32)
+    w = rng.standard_normal((128, 256)).astype(np.float32)
+    q = quant.quantize_int8(w)
+    a = np.asarray(quant._int8_matmul_xla(jnp.asarray(x, jnp.bfloat16),
+                                          q["w_q"], q["scale"]))
+    b = np.asarray(quant.int8_matmul(x, q["w_q"], q["scale"], block_n=128,
+                                     interpret=True))
+    np.testing.assert_allclose(a.astype(np.float32), b, atol=0.3, rtol=0.05)

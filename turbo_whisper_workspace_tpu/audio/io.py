@@ -247,6 +247,61 @@ def _vorbis_lib():
     return lib
 
 
+def _is_ogg_opus(data: bytes) -> bool:
+    """An Ogg stream whose first (BOS) packet is OpusHead (RFC 7845)."""
+    # BOS page: 27-byte header + lacing; the first packet body follows
+    if len(data) < 28 or data[:4] != b"OggS":
+        return False
+    nsegs = data[26]
+    body = 27 + nsegs
+    return data[body:body + 8] == b"OpusHead"
+
+
+def _opus_lib():
+    lib = load_native("opus_decoder")
+    lib.opus_file_info.restype = ctypes.c_long
+    lib.opus_file_info.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.opus_file_decode.restype = ctypes.c_long
+    lib.opus_file_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    return lib
+
+
+def opus_stream_info(data: bytes) -> dict:
+    lib = _opus_lib()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = lib.opus_file_info(data, len(data), ctypes.byref(sr), ctypes.byref(ch))
+    if n < 0:
+        raise AudioDecodeError(f"opus info failed ({n})")
+    return {"total_samples": int(n), "sample_rate": sr.value,
+            "channels": ch.value}
+
+
+def decode_opus(data: bytes) -> tuple[np.ndarray, int]:
+    """First-party Ogg Opus decode (native/opus_decoder.cpp) →
+    (float32 (N,) or (N, ch), 48000)."""
+    info = opus_stream_info(data)
+    lib = _opus_lib()
+    cap = (info["total_samples"] + 5760) * info["channels"]
+    out = np.zeros(cap, np.float32)
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = lib.opus_file_decode(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap, ctypes.byref(sr), ctypes.byref(ch))
+    if n < 0:
+        raise AudioDecodeError(f"opus decode failed ({n})")
+    pcm = out[: n * ch.value]
+    if ch.value > 1:
+        pcm = pcm.reshape(-1, ch.value)
+    return pcm, sr.value
+
+
 def vorbis_stream_info(data: bytes) -> dict:
     lib = _vorbis_lib()
     sr = ctypes.c_int()
@@ -365,6 +420,9 @@ def read_audio_file(
         elif _looks_like_aac(data):
             samples, sr = decode_aac(data)
             audio = samples.mean(axis=1) if samples.ndim == 2 else samples
+        elif _is_ogg_opus(data):
+            samples, sr = decode_opus(data)
+            audio = samples.mean(axis=1) if samples.ndim == 2 else samples
         elif data[:4] == b"OggS":
             samples, sr = decode_vorbis(data)
             audio = samples.mean(axis=1) if samples.ndim == 2 else samples
@@ -410,7 +468,9 @@ def get_audio_duration(path: str) -> float:
             return info["total_samples"] / info["sample_rate"]
         if head[:4] == b"OggS":
             with open(path, "rb") as f:
-                info = vorbis_stream_info(f.read())
+                data = f.read()
+            info = (opus_stream_info(data) if _is_ogg_opus(data)
+                    else vorbis_stream_info(data))
             return info["total_samples"] / info["sample_rate"]
         if _looks_like_mp3(head):
             with open(path, "rb") as f:

@@ -195,6 +195,102 @@ def int4_matmul(
     return out
 
 
+def _int8_matmul_xla(x, w_q, scale):
+    """Plain-XLA dequant-einsum int8 matmul.
+
+    At decode batch (m=1) this measures 639 GB/s on v5e vs 373 GB/s for
+    the Pallas dequant kernel and ~200 GB/s for a native s8xs8 MXU
+    kernel: XLA's matvec strategy streams weights at the HBM bound and
+    fuses the int8→bf16 convert into the reduction, while an MXU matmul
+    at one row is weight-load-latency-bound (scripts/profile_llm_ops.py,
+    docs/KERNELS.md). Used for small m; the Pallas kernel keeps the
+    large-m (prefill) path."""
+    w = w_q.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
+    return (x.astype(jnp.bfloat16) @ w).astype(x.dtype)
+
+
+# --- W4A8: grouped int4 weights x dynamically-quantized int8 activations.
+# The int4 nibbles unpack to int8 in VMEM (the VPU cost is ~2 ops/byte,
+# half the bf16-dequant path's) and feed native s8xs8 MXU dots per scale
+# group; the f32 rescale touches only the (m, block) output.
+
+def quant_act_grouped(x, n_groups: int):
+    """(M, K) float → per-(row, group) symmetric int8 activations."""
+    m, k = x.shape
+    g = k // n_groups
+    xf = x.astype(jnp.float32).reshape(m, n_groups, g)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq.reshape(m, k), xs[..., 0]
+
+
+def _s8g4_kernel(xq_ref, xs_ref, wq_ref, ws_ref, o_ref, *, k, n_groups):
+    w32 = wq_ref[:].astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(w32, 28), 28).astype(jnp.int8)
+    hi = jax.lax.shift_right_arithmetic(w32, 4).astype(jnp.int8)
+    g = k // n_groups
+    half = n_groups // 2
+    xq = xq_ref[:]
+    xs = xs_ref[:].astype(jnp.float32)
+    ws = ws_ref[:].astype(jnp.float32)
+    acc = jnp.zeros((xq.shape[0], lo.shape[1]), jnp.float32)
+    for gi in range(n_groups):
+        src = lo if gi < half else hi
+        row = (gi - half if gi >= half else gi) * g
+        part = jax.lax.dot_general(
+            xq[:, gi * g:(gi + 1) * g], src[row:row + g],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        acc += part.astype(jnp.float32) * (xs[:, gi:gi + 1] * ws[gi:gi + 1])
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def int4_matmul_s8(xq, xs, w_q4, scale4, block_n=512, interpret=False):
+    """W4A8 decode matmul: int8 activations (per-group scales) against
+    packed int4 weights, unpacked to int8 in VMEM and fed to the MXU's
+    native s8xs8 path. 294 GB/s of packed int4 bytes on v5e (~590 GB/s
+    int8-equivalent) vs 255 for the bf16-dequant kernel."""
+    m, k = xq.shape
+    n = w_q4.shape[-1]
+    n_groups = scale4.shape[0]
+    bn = min(block_n, n)
+    if n % bn:
+        npad = -(-n // bn) * bn
+        w_q4 = jnp.pad(w_q4, ((0, 0), (0, npad - n)))
+        scale4 = jnp.pad(scale4, ((0, 0), (0, npad - n)))
+        return int4_matmul_s8(xq, xs, w_q4, scale4, block_n=bn,
+                              interpret=interpret)[:, :n]
+    out = pl.pallas_call(
+        functools.partial(_s8g4_kernel, k=k, n_groups=n_groups),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        grid_spec=pl.GridSpec(
+            grid=(n // bn,),
+            in_specs=[
+                pl.BlockSpec((m, k), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, n_groups), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k // 2, bn), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_groups, bn), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m, bn), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * k + k * n // 2 + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, xs, w_q4, scale4)
+    return out
+
+
 def _int4_matmul_xla(x, w_q4, scale):
     """Plain-XLA twin of int4_matmul (CPU path / oracle)."""
     k = x.shape[-1]
@@ -216,21 +312,33 @@ def matmul_any(x: jax.Array, wp: dict, interpret: bool | None = None) -> jax.Arr
     """
     lead = x.shape[:-1]
     k = x.shape[-1]
+    xf = x.reshape(-1, k)
+    m = xf.shape[0]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     if "w_q4" in wp:
-        if interpret is None and jax.default_backend() in ("tpu", "axon"):
-            out = int4_matmul(x.reshape(-1, k), wp["w_q4"], wp["scale4"])
+        if interpret is None and on_tpu:
+            if m <= 8:
+                # decode: W4A8 grouped s8xs8 (bandwidth-bound regime)
+                n_groups = wp["scale4"].shape[0]
+                xq, xs = quant_act_grouped(xf, n_groups)
+                out = int4_matmul_s8(xq, xs, wp["w_q4"], wp["scale4"])
+                out = out.astype(x.dtype)
+            else:
+                out = int4_matmul(xf, wp["w_q4"], wp["scale4"])
         elif interpret:
-            out = int4_matmul(x.reshape(-1, k), wp["w_q4"], wp["scale4"],
-                              interpret=True)
+            out = int4_matmul(xf, wp["w_q4"], wp["scale4"], interpret=True)
         else:
-            out = _int4_matmul_xla(x.reshape(-1, k), wp["w_q4"], wp["scale4"])
+            out = _int4_matmul_xla(xf, wp["w_q4"], wp["scale4"])
         return out.reshape(*lead, -1)
     if "w_q" not in wp:
         return x @ wp["w"].astype(x.dtype)
+    if interpret is None and on_tpu and m <= 8:
+        # decode: XLA dequant-einsum streams at the HBM bound at m=1
+        out = _int8_matmul_xla(xf, wp["w_q"], wp["scale"])
+        return out.reshape(*lead, -1)
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-    out = int8_matmul(x.reshape(-1, k), wp["w_q"], wp["scale"],
-                      interpret=interpret)
+        interpret = not on_tpu
+    out = int8_matmul(xf, wp["w_q"], wp["scale"], interpret=interpret)
     return out.reshape(*lead, -1)
 
 
