@@ -126,6 +126,21 @@ def bench_llm_decode():
 
     model = os.environ.get("BENCH_LLM_MODEL", "llama-3.2-3b")
     gen_len = int(os.environ.get("BENCH_LLM_LEN", 64))
+    # (model, bits, metric-suffix): the 3B geometry at both operating
+    # points, plus the reference's exact 8B point (Hermes-3-Llama-3.1-8B
+    # Q4, vocalis/llm/llm_helper.py:40) — int4 fits the 16 GB chip
+    runs = [(model, 8, ""), (model, 4, "")]
+    if os.environ.get("BENCH_LLM_8B", "1") == "1" and model != "test-tiny":
+        runs.append(("llama-3.1-8b", 4, "_8b"))
+    for model, bits_run, suffix in runs:
+        _bench_llm_one(model, bits_run, suffix, gen_len)
+
+
+def _bench_llm_one(model, bits, suffix, gen_len):
+    from turbo_whisper_workspace_tpu.llm import generate as gen_mod
+    from turbo_whisper_workspace_tpu.models import llama as lm
+    from turbo_whisper_workspace_tpu.ops.quant import quantize_tree
+
     dims = lm.LLAMA_CONFIGS[model]
 
     # Weights are built HOST-side (numpy f16) and only the QUANTIZED
@@ -157,7 +172,7 @@ def bench_llm_decode():
     }
     prompt = jnp.arange(16, dtype=jnp.int32)[None, :] % dims.n_vocab
 
-    for bits in (8, 4):
+    if True:
         qparams = quantize_tree(params, bits=bits)
         # push the remaining host leaves (embeddings, norms) as bf16
         qparams = jax.tree.map(
@@ -179,7 +194,7 @@ def bench_llm_decode():
         toks = gen_len * ITERS
         value = toks / elapsed
         print(json.dumps({
-            "metric": f"llm_decode_int{bits}",
+            "metric": f"llm_decode_int{bits}{suffix}",
             "value": round(value, 2),
             "unit": "tok/s/chip",
             "vs_baseline": round(value / 100.0, 3),
@@ -249,6 +264,99 @@ def bench_pipeline_beam5(params, dims, drules, prompt, audio):
     )
 
 
+
+def bench_pipeline_e2e(params, dims):
+    """Wall-clock of the SHIPPED AudioProcessingPipeline.process_batch
+    (VERDICT r4 #2): host file decode, VAD chunk planning, bucketed
+    encode + beam decode, diarization (segmentation windows + embedding
+    crops through the bucketed device batches, host AHC), merge — the
+    production flow at pipeline/audio_pipeline.py:229-299, matching the
+    reference's master flow (vocalis/core/audio_pipeline.py:567-688).
+
+    Inputs: N_FILES multi-minute files tiled from the golden two-speaker
+    conversation with per-file noise/gain variation. EOT is suppressed
+    (random weights; same honest worst case as the other benches), so
+    every surviving window decodes DECODE_LEN tokens at BEAM width.
+    First process_batch call compiles/warms; the timed pass reuses it.
+    """
+    import shutil
+    import tempfile
+    import wave as wave_mod
+
+    from turbo_whisper_workspace_tpu.config import (PipelineConfig,
+                                                    TranscriptionConfig)
+    from turbo_whisper_workspace_tpu.decode.rules import DecodeRules
+    from turbo_whisper_workspace_tpu.pipeline.audio_pipeline import (
+        AudioProcessingPipeline)
+    from turbo_whisper_workspace_tpu.pipeline.transcriber import (
+        load_transcriber)
+
+    n_files = int(os.environ.get("BENCH_E2E_FILES", 16))
+    file_s = float(os.environ.get("BENCH_E2E_FILE_S", 120.0))
+
+    with wave_mod.open("examples/golden/conversation.wav") as w:
+        sr = w.getframerate()
+        base = np.frombuffer(w.readframes(w.getnframes()),
+                             np.int16).astype(np.float32) / 32768.0
+    rng = np.random.default_rng(7)
+    tmpdir = tempfile.mkdtemp(prefix="bench_e2e_")
+    paths = []
+    total_audio_s = 0.0
+    for i in range(n_files):
+        reps = int(np.ceil(file_s * sr / len(base)))
+        x = np.tile(base * float(rng.uniform(0.6, 1.0)), reps)
+        x = x[: int(file_s * sr)]
+        x = x + rng.standard_normal(len(x)).astype(np.float32) * 0.003
+        pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+        p = os.path.join(tmpdir, f"clip{i:02d}.wav")
+        with wave_mod.open(p, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        paths.append(p)
+        total_audio_s += file_s
+
+    tcfg = TranscriptionConfig(
+        batch_size=BATCH, beam_size=BEAM, max_decode_len=DECODE_LEN,
+        language="en",
+    )
+    tr = load_transcriber(params, dims, tcfg)
+    tr.rules = DecodeRules(
+        specials=tr.tokenizer.specials, timestamps=True,
+        extra_suppress=(tr.tokenizer.specials.eot,),
+    )
+    pcfg = PipelineConfig()
+    pcfg.llm.enabled = False
+    pipe = AudioProcessingPipeline(pcfg, transcriber=tr)
+
+    t0 = time.time()
+    pipe.process_batch(paths, enrich=False)     # compile + warm
+    compile_s = time.time() - t0
+    t0 = time.time()
+    results = pipe.process_batch(paths, enrich=False)
+    elapsed = time.time() - t0
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    assert len(results) == n_files
+    tps = results[0]["processing_times"]
+    value = total_audio_s / elapsed
+    print(json.dumps({
+        "metric": "pipeline_e2e",
+        "value": round(value, 2),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(value / 500.0, 3),
+        "detail": {
+            "files": n_files, "file_s": file_s, "model": MODEL,
+            "batch": BATCH, "beam": BEAM, "decode_len": DECODE_LEN,
+            "warm_pass_s": round(compile_s, 1),
+            "elapsed_s": round(elapsed, 2),
+            "t_transcribe_s": round(tps["transcription"], 2),
+            "t_diarize_s": round(tps["diarization"], 2),
+            "device": str(jax.devices()[0]),
+        },
+    }), flush=True)
+
+
 def main():
     dims = wm.WHISPER_CONFIGS[MODEL]
     params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -272,6 +380,8 @@ def main():
         bench_asr_greedy(params, dims, drules, prompt, audio)
     if MODE in ("llm", "both"):
         bench_llm_decode()
+    if MODE in ("e2e", "both"):
+        bench_pipeline_e2e(params, dims)
     # BASELINE gate config LAST — the driver records the final line
     if MODE in ("pipeline", "both"):
         bench_pipeline_beam5(params, dims, drules, prompt, audio)
