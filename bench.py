@@ -317,6 +317,13 @@ def bench_pipeline_e2e(params, dims):
         paths.append(p)
         total_audio_s += file_s
 
+    # retry ladder off: random weights produce gibberish text, so the
+    # compression-ratio check would exhaust ALL fallback temperatures on
+    # every window — a random-weight artifact (real checkpoints retry
+    # on a small fraction of windows); the single-pass decode is the
+    # honest shipped-path measure
+    from turbo_whisper_workspace_tpu.pipeline import transcriber as tr_mod
+    tr_mod.FALLBACK_TEMPERATURES = (0.0,)
     tcfg = TranscriptionConfig(
         batch_size=BATCH, beam_size=BEAM, max_decode_len=DECODE_LEN,
         language="en",

@@ -186,7 +186,10 @@ class SpeakerDiarizer:
 
     def _embed_crops(self, crops: np.ndarray) -> np.ndarray:
         """(N, crop_samples) waveform crops → (N, emb_dim) embeddings,
-        mel + forward bucketed to stable shapes."""
+        mel + forward bucketed to stable shapes. Crops ship host→device
+        as int16 PCM and only the embeddings (or the 80-float spectral
+        specs of the fallback) come back — the host link is the
+        bottleneck on the bench rig (docs/SCALING.json)."""
         out = []
         for lo, hi, bsz in self._bucket_spans(len(crops), self.config.emb_batch):
             batch = crops[lo:hi]
@@ -195,15 +198,20 @@ class SpeakerDiarizer:
                     [batch, np.zeros((bsz - (hi - lo), crops.shape[1]),
                                      np.float32)]
                 )
-            mels = np.asarray(mel_ops.log_mel_spectrogram(
-                jnp.asarray(batch), num_mels=80
-            ))[:, :, : self.emb_dims.crop_frames]
+            pcm = np.clip(batch * 32768.0, -32768, 32767).astype(np.int16)
             if self.emb_params is not None:
+                mels = mel_ops.log_mel_spectrogram(
+                    jnp.asarray(pcm), num_mels=80
+                )[:, :, : self.emb_dims.crop_frames]
                 embs = np.asarray(_emb_forward(
-                    self.emb_params, self.emb_dims, jnp.asarray(mels)
+                    self.emb_params, self.emb_dims, mels
                 ))
             else:
-                embs = emb_mod.spectral_embedding(mels)
+                spec = np.asarray(emb_mod.spectral_spec_device(
+                    jnp.asarray(pcm),
+                    crop_frames=self.emb_dims.crop_frames,
+                ))
+                embs = emb_mod.spectral_embedding_from_spec(spec)
             out.append(embs[: hi - lo])
         return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
 
@@ -241,8 +249,9 @@ class SpeakerDiarizer:
             for row, (fi, t) in enumerate(plans[lo:hi]):
                 chunk = audios[fi][t : t + win]
                 windows[row, : len(chunk)] = chunk
+            pcm = np.clip(windows * 32768.0, -32768, 32767).astype(np.int16)
             mels = mel_ops.log_mel_spectrogram(
-                jnp.asarray(windows), num_mels=self.seg_dims.n_mels
+                jnp.asarray(pcm), num_mels=self.seg_dims.n_mels
             )[:, :, : self.seg_dims.window_frames]
             logits = np.asarray(_seg_forward(self.seg_params, self.seg_dims,
                                              mels))

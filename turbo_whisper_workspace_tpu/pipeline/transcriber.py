@@ -119,9 +119,15 @@ class Transcriber:
     # -- decode one fixed-shape batch of windows --------------------------
     def _encode_windows(self, audio_batch: np.ndarray):
         """waveforms (B, N_SAMPLES) → cross-KV (encoded ONCE per bucket;
-        language detection and every temperature retry reuse it)."""
+        language detection and every temperature retry reuse it).
+
+        Audio ships host→device as int16 PCM (the decoders' native
+        format; f32 convert happens on device inside the mel frontend) —
+        half the wire bytes, and the host feed is what bounds multi-host
+        scaling (docs/SCALING.json)."""
+        pcm = np.clip(audio_batch * 32768.0, -32768, 32767).astype(np.int16)
         return _encode_batch(
-            self.params, self.dims, jnp.asarray(audio_batch),
+            self.params, self.dims, jnp.asarray(pcm),
             self.dims.n_mels, quantize_kv=self.config.quantize_cross_kv,
         )
 
