@@ -124,12 +124,23 @@ class Transcriber:
         Audio ships host→device as int16 PCM (the decoders' native
         format; f32 convert happens on device inside the mel frontend) —
         half the wire bytes, and the host feed is what bounds multi-host
-        scaling (docs/SCALING.json)."""
-        pcm = np.clip(audio_batch * 32768.0, -32768, 32767).astype(np.int16)
-        return _encode_batch(
-            self.params, self.dims, jnp.asarray(pcm),
+        scaling (docs/SCALING.json). Accepts an already-device_put int16
+        array (the batched transcribe pre-stages all buckets so uploads
+        overlap compute)."""
+        import os as _os
+        import time as _time
+        _t0 = _time.time()
+        if isinstance(audio_batch, np.ndarray):
+            audio_batch = np.clip(
+                audio_batch * 32768.0, -32768, 32767).astype(np.int16)
+        kv = _encode_batch(
+            self.params, self.dims, jnp.asarray(audio_batch),
             self.dims.n_mels, quantize_kv=self.config.quantize_cross_kv,
         )
+        if _os.environ.get("TWW_STAGE_TIMES"):
+            jax.block_until_ready(kv)
+            print(f"[stage] encode {_time.time() - _t0:.2f}s", flush=True)
+        return kv
 
     def _decode_batch(
         self,
@@ -139,6 +150,9 @@ class Transcriber:
         beam_size: int | None = None,
         prefix: list[int] | None = None,
     ):
+        import os as _os
+        import time as _time
+        _t0 = _time.time()
         beam_size = beam_size if beam_size is not None else self.config.beam_size
         prompt = np.array(
             [self._prompt_row(l, prefix) for l in languages], np.int32
@@ -159,6 +173,9 @@ class Transcriber:
                 key=jax.random.PRNGKey(int(temperature * 1000) + 1)
                 if temperature > 0 else None,
             )
+        if _os.environ.get("TWW_STAGE_TIMES"):
+            jax.block_until_ready(res.tokens)
+            print(f"[stage] decode {_time.time() - _t0:.2f}s", flush=True)
         return res, prompt.shape[1]
 
     # -- window postprocess ----------------------------------------------
@@ -259,6 +276,12 @@ class Transcriber:
         n_win = len(plans)
         bsz = min(cfg.batch_size, 1 << (n_win - 1).bit_length() if n_win else 1)
         window_results: list[dict | None] = [None] * n_win
+        # pre-issue ALL bucket uploads as ASYNC int16 device_puts before
+        # the compute loop: the host→device transfers then overlap the
+        # previous buckets' encode/decode instead of serializing (the
+        # host link is the pipeline's largest non-compute term —
+        # docs/SCALING.json)
+        staged = []
         for lo in range(0, n_win, bsz):
             hi = min(lo + bsz, n_win)
             batch = windows[lo:hi]
@@ -267,7 +290,10 @@ class Transcriber:
                 batch = np.concatenate(
                     [batch, np.zeros((pad, batch.shape[1]), np.float32)]
                 )
-            cross_kv = self._encode_windows(batch)
+            pcm = np.clip(batch * 32768.0, -32768, 32767).astype(np.int16)
+            staged.append((lo, hi, jax.device_put(pcm)))
+        for lo, hi, pcm_dev in staged:
+            cross_kv = self._encode_windows(pcm_dev)
             if detect and any(
                 languages[plans[w].file_index] is None for w in range(lo, hi)
             ):
