@@ -63,6 +63,7 @@ case "${1:-help}" in
                (cd "$REPO_ROOT" && BENCH_MODEL=tiny BENCH_BATCH=2 \
                   BENCH_DECODE_LEN=8 BENCH_ITERS=1 \
                   BENCH_LLM_MODEL=test-tiny BENCH_LLM_LEN=4 \
+                  BENCH_E2E_FILES=2 BENCH_E2E_FILE_S=30 \
                   "$PYTHON" -c "
 import jax
 jax.config.update('jax_platforms', 'cpu')

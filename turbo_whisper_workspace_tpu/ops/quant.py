@@ -158,6 +158,11 @@ def int4_matmul(
     """x @ dequant4(w_q4) with in-kernel dequantization. Returns (M, N)."""
     m, k = x.shape
     n = w_q4.shape[-1]
+    # VMEM budget: the in-kernel unpack holds int32 temporaries of the
+    # (K/2, bn) weight block (~4.5 B/packed byte); at the 8B geometry
+    # (K=14336) a 512-wide block blows the 16 MB scoped limit
+    cap = max(128, ((8 << 20) // max(k // 2, 1) // 5) // 128 * 128)
+    block_n = min(block_n, cap)
     bn = min(block_n, n)
     if n % bn:
         # pad N to the block multiple (see int8_matmul — bn = n would
@@ -226,21 +231,25 @@ def quant_act_grouped(x, n_groups: int):
 
 
 def _s8g4_kernel(xq_ref, xs_ref, wq_ref, ws_ref, o_ref, *, k, n_groups):
-    w32 = wq_ref[:].astype(jnp.int32)
-    lo = jax.lax.shift_right_arithmetic(
-        jax.lax.shift_left(w32, 28), 28).astype(jnp.int8)
-    hi = jax.lax.shift_right_arithmetic(w32, 4).astype(jnp.int8)
     g = k // n_groups
     half = n_groups // 2
     xq = xq_ref[:]
     xs = xs_ref[:].astype(jnp.float32)
     ws = ws_ref[:].astype(jnp.float32)
-    acc = jnp.zeros((xq.shape[0], lo.shape[1]), jnp.float32)
+    acc = jnp.zeros((xq.shape[0], o_ref.shape[1]), jnp.float32)
     for gi in range(n_groups):
-        src = lo if gi < half else hi
+        # unpack ONE scale group at a time: the int32 shift temporaries
+        # then stay at (g, bn) — a whole-block unpack blew the VMEM
+        # scoped limit at the 8B geometry (K/2 = 7168)
         row = (gi - half if gi >= half else gi) * g
+        w32 = wq_ref[row:row + g, :].astype(jnp.int32)
+        if gi < half:
+            wg = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(w32, 28), 28).astype(jnp.int8)
+        else:
+            wg = jax.lax.shift_right_arithmetic(w32, 4).astype(jnp.int8)
         part = jax.lax.dot_general(
-            xq[:, gi * g:(gi + 1) * g], src[row:row + g],
+            xq[:, gi * g:(gi + 1) * g], wg,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
         )
         acc += part.astype(jnp.float32) * (xs[:, gi:gi + 1] * ws[gi:gi + 1])
