@@ -68,7 +68,7 @@ def main():
 
     ckv = {
         "k_q": jax.random.randint(key, (L, B, H, DH, TC), -127, 127, jnp.int8),
-        "v_q": jax.random.randint(key, (L, B, H, DH, TC), -127, 127, jnp.int8),
+        "v_q": jax.random.randint(key, (L, B, TC, H * DH), -127, 127, jnp.int8),
         "k_scale": jax.random.uniform(key, (L, B, H), jnp.float32),
         "v_scale": jax.random.uniform(key, (L, B, H), jnp.float32),
     }
