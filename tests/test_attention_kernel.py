@@ -137,3 +137,28 @@ def test_self_attention_lanes_matches_gathered(rng):
         interpret=True,
     ))
     np.testing.assert_allclose(pall, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_cross_attention_s8_matches_int8(rng):
+    """EXPERIMENTAL s8×s8 cross kernel (TWW_CROSS_S8 opt-in) tracks the
+    shipping bf16-dequant kernel within its documented ~1% activation/
+    softmax-weight quantization noise (docs/KERNELS.md beam-step
+    decomposition)."""
+    import jax.numpy as jnp
+
+    from turbo_whisper_workspace_tpu.ops.attention import (
+        cross_attention_int8, cross_attention_s8)
+
+    b, h, tq, dh, t = 2, 4, 5, 64, 256
+    q = jnp.asarray(rng.standard_normal((b, h, tq, dh)), jnp.bfloat16)
+    kq = jnp.asarray(rng.integers(-127, 128, (b, h, dh, t)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (b, t, h * dh)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (b, h)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (b, h)), jnp.float32)
+    ref = np.asarray(cross_attention_int8(q, kq, vq, ks, vs, seq_len=t,
+                                          interpret=True), np.float32)
+    got = np.asarray(cross_attention_s8(q, kq, vq, ks, vs, seq_len=t,
+                                        interpret=True), np.float32)
+    denom = max(np.abs(ref).mean(), 1e-9)
+    rel = np.abs(got - ref).mean() / denom
+    assert rel < 0.03, rel

@@ -636,9 +636,14 @@ def decoder_forward(
                     seq_len=dims.n_audio_ctx,
                 )
             else:
-                from ..ops.attention import cross_attention_int8
+                from ..ops.attention import cross_attention_int8, cross_attention_s8
 
-                cattn = cross_attention_int8(
+                import os as _os
+
+                _xk = (cross_attention_s8
+                       if _os.environ.get("TWW_CROSS_S8") == "1"
+                       else cross_attention_int8)
+                cattn = _xk(
                     qh, ckv["k_q"], ckv["v_q"],
                     ckv["k_scale"], ckv["v_scale"],
                     seq_len=dims.n_audio_ctx,

@@ -251,6 +251,99 @@ def cross_attention_int8(
     return (out * v_scale[:, :, None, None]).astype(q.dtype)
 
 
+def _bd_attn_s8_kernel(q_ref, kq_ref, vq_ref, o_ref, *, seq_len: int,
+                       n_head: int):
+    """s8×s8 variant of the block-diagonal decode cross-attention
+    (EXPERIMENTAL, opt-in via TWW_CROSS_S8): the int8 K/V panels feed
+    the MXU's native s8×s8 path directly instead of being cast to bf16
+    in VMEM first. profile_decoder_step measured the shipping kernel at
+    2.30 ms/step vs a 0.6 ms HBM floor — the ~494 MB/step int8→bf16
+    cast is the bottleneck (docs/KERNELS.md). Queries are quantized per
+    row (symmetric, after the block-diagonal expansion so zero blocks
+    stay zero); softmax weights quantize at a fixed 7-bit scale (they
+    live in [0, 1]). Adds ~0.5-1% attention-output noise vs the bf16
+    dequant kernel."""
+    qc = q_ref[0]                                  # (M, Dh) bf16 compact
+    d_full = kq_ref.shape[1]
+    qb = _bd_expand(qc, n_head, d_full)            # (M, D)
+    qf = qb.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+    qs = jnp.maximum(amax, 1e-30) / 127.0
+    q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    scores_i = jax.lax.dot_general(
+        q8, kq_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                              # (M, Tpad)
+    scores = scores_i.astype(jnp.float32) * qs
+    if seq_len < scores.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < seq_len, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp2(scores - m)
+    w = p * pl.reciprocal(jnp.sum(p, -1, keepdims=True), approx=False)
+    # per-row scaling keeps precision when attention is diffuse (a fixed
+    # 1/127 scale truncates near-uniform rows to zero)
+    wmax = jnp.max(w, axis=-1, keepdims=True)
+    wscale = jnp.maximum(wmax, 1e-30) / 127.0
+    w8 = jnp.round(w / wscale).astype(jnp.int8)
+    full_i = jax.lax.dot_general(
+        w8, vq_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                              # (M, D)
+    full = full_i.astype(jnp.float32) * wscale
+    o_ref[0] = _bd_extract(full, n_head, qc.shape[-1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "interpret"))
+def cross_attention_s8(
+    q: jax.Array,        # (B, H, Tq, Dh)
+    kq: jax.Array,       # (B, H, Dh, Tpad) int8
+    vq: jax.Array,       # (B, Tpad, H·Dh) int8
+    k_scale: jax.Array,  # (B, H) f32
+    v_scale: jax.Array,  # (B, H) f32
+    seq_len: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode-step cross-attention on the native s8×s8 MXU path
+    (opt-in twin of cross_attention_int8; see _bd_attn_s8_kernel)."""
+    import math
+
+    b, h, tq, dh = q.shape
+    tpad = kq.shape[-1]
+    seq_len = seq_len if seq_len is not None else tpad
+    scale = (dh**-0.5) * math.log2(math.e)
+    qs = (q.astype(jnp.float32)
+          * (k_scale[:, :, None, None] * scale)).astype(jnp.bfloat16)
+    qc = qs.reshape(b, h * tq, dh)
+    kqf = kq.reshape(b, h * dh, tpad)
+    m, d = h * tq, h * dh
+    out = pl.pallas_call(
+        functools.partial(_bd_attn_s8_kernel, seq_len=seq_len, n_head=h),
+        out_shape=jax.ShapeDtypeStruct((b, m, dh), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, m, dh), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, tpad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tpad, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, m, dh), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * m * tpad * d,
+            bytes_accessed=2 * b * d * tpad + b * m * dh * (2 + 4),
+            transcendentals=b * m * tpad,
+        ),
+        interpret=interpret,
+    )(qc, kqf, vq)
+    out = out.reshape(b, h, tq, dh)
+    return (out * v_scale[:, :, None, None]).astype(q.dtype)
+
+
 def _self_int8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
                       *, scale: float):
     """Decode-time SELF-attention over the quantized KV cache for ONE
