@@ -191,6 +191,10 @@ class SpeakerDiarizer:
         specs of the fallback) come back — the host link is the
         bottleneck on the bench rig (docs/SCALING.json)."""
         out = []
+        # pre-issue every bucket's int16 upload asynchronously so the
+        # host link overlaps the device forwards (same staging as the
+        # transcriber's window buckets)
+        staged = []
         for lo, hi, bsz in self._bucket_spans(len(crops), self.config.emb_batch):
             batch = crops[lo:hi]
             if hi - lo < bsz:
@@ -199,17 +203,18 @@ class SpeakerDiarizer:
                                      np.float32)]
                 )
             pcm = np.clip(batch * 32768.0, -32768, 32767).astype(np.int16)
+            staged.append((lo, hi, jax.device_put(pcm)))
+        for lo, hi, pcm in staged:
             if self.emb_params is not None:
                 mels = mel_ops.log_mel_spectrogram(
-                    jnp.asarray(pcm), num_mels=80
+                    pcm, num_mels=80
                 )[:, :, : self.emb_dims.crop_frames]
                 embs = np.asarray(_emb_forward(
                     self.emb_params, self.emb_dims, mels
                 ))
             else:
                 spec = np.asarray(emb_mod.spectral_spec_device(
-                    jnp.asarray(pcm),
-                    crop_frames=self.emb_dims.crop_frames,
+                    pcm, crop_frames=self.emb_dims.crop_frames,
                 ))
                 embs = emb_mod.spectral_embedding_from_spec(spec)
             out.append(embs[: hi - lo])
